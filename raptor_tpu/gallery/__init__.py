@@ -1,0 +1,21 @@
+from raptor_tpu.gallery.stencils import (
+    stencil_grid,
+    poisson_2d,
+    poisson_3d,
+    laplacian_27pt,
+    anisotropic_2d,
+    diffusion_stencil_2d,
+    elasticity_3d,
+    default_rhs,
+)
+
+__all__ = [
+    "stencil_grid",
+    "poisson_2d",
+    "poisson_3d",
+    "laplacian_27pt",
+    "anisotropic_2d",
+    "diffusion_stencil_2d",
+    "elasticity_3d",
+    "default_rhs",
+]

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from raptor_tpu.core import ell_from_csr, ell_to_csr, pad_vector
+from raptor_tpu.ops import spmv, spmv_t, ell_transpose, spgemm, ell_add, rap
+from raptor_tpu.gallery import poisson_2d, poisson_3d, anisotropic_2d
+
+from tests.unit.test_ell import random_csr
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("shape", [(19, 19), (33, 14), (6, 50)])
+def test_spmv_random(seed, shape):
+    n, m = shape
+    a = random_csr(n, m, 0.3, seed)
+    E = ell_from_csr(a, dtype=np.float64, identity_pad_rows=False)
+    rng = np.random.default_rng(seed + 99)
+    x = rng.standard_normal(m)
+    y = np.asarray(spmv(E, pad_vector(x, E.n_cols_pad)))
+    assert np.allclose(y[:n], a @ x)
+    assert np.allclose(y[n:], 0.0)
+
+
+def test_spmv_gallery():
+    a = poisson_3d(5)
+    E = ell_from_csr(a, dtype=np.float64)
+    x = np.linspace(-1, 1, a.shape[0])
+    y = np.asarray(spmv(E, pad_vector(x, E.n_cols_pad)))
+    assert np.allclose(y[: a.shape[0]], a @ x)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spmv_t(seed):
+    a = random_csr(23, 11, 0.3, seed)
+    E = ell_from_csr(a, dtype=np.float64, identity_pad_rows=False)
+    y = np.random.default_rng(seed).standard_normal(23)
+    x = np.asarray(spmv_t(E, pad_vector(y, E.n_rows_pad)))
+    assert np.allclose(x[:11], a.T @ y)
+
+
+@pytest.mark.parametrize("shape", [(20, 20), (31, 9), (7, 45)])
+def test_transpose(shape):
+    n, m = shape
+    a = random_csr(n, m, 0.25, 7)
+    E = ell_from_csr(a, dtype=np.float64, identity_pad_rows=False)
+    T = ell_transpose(E)
+    assert T.shape == (m, n)
+    assert np.allclose(ell_to_csr(T).toarray(), a.T.toarray())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_spgemm_random(seed):
+    A = random_csr(20, 15, 0.3, seed)
+    B = random_csr(15, 25, 0.3, seed + 10)
+    Ea = ell_from_csr(A, dtype=np.float64, identity_pad_rows=False)
+    Eb = ell_from_csr(B, dtype=np.float64, identity_pad_rows=False)
+    C = spgemm(Ea, Eb)
+    ref = (A @ B).toarray()
+    assert np.allclose(ell_to_csr(C).toarray(), ref, atol=1e-12)
+
+
+def test_spgemm_gallery_square():
+    a = anisotropic_2d(8)
+    E = ell_from_csr(a, dtype=np.float64)
+    C = spgemm(E, E)
+    ref = (a @ a).toarray()
+    got = ell_to_csr(C).toarray()
+    assert np.allclose(got, ref, atol=1e-10)
+
+
+def test_rap_vs_scipy():
+    a = poisson_2d(10)
+    # crude "interpolation": random tall sparse P
+    P = random_csr(100, 30, 0.15, 5)
+    Ea = ell_from_csr(a, dtype=np.float64)
+    Ep = ell_from_csr(P, dtype=np.float64, identity_pad_rows=False,
+                      n_cols_pad=32)
+    R = ell_transpose(Ep)
+    Ac = rap(R, Ea, Ep)
+    ref = (P.T @ a @ P).toarray()
+    assert np.allclose(ell_to_csr(Ac).toarray(), ref, atol=1e-10)
+
+
+def test_ell_add():
+    A = random_csr(18, 18, 0.3, 1)
+    B = random_csr(18, 18, 0.3, 2)
+    Ea = ell_from_csr(A, dtype=np.float64, identity_pad_rows=False)
+    Eb = ell_from_csr(B, dtype=np.float64, identity_pad_rows=False)
+    C = ell_add(Ea, Eb, alpha=2.0, beta=-0.5)
+    ref = (2.0 * A - 0.5 * B).toarray()
+    assert np.allclose(ell_to_csr(C).toarray(), ref, atol=1e-12)
