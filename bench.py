@@ -1,0 +1,197 @@
+"""Benchmark harness (SURVEY.md §2b C20): emits the BASELINE.json:2 metric.
+
+Headline: V-cycle DOF/s/chip on 3D Poisson AMG-PCG (structured DIA engine,
+the TPU-native fast path), plus setup time and solve time to a true fp64
+relative residual of 1e-8 (mixed-precision iterative refinement around the
+fp32 on-device solve).
+
+vs_baseline: BASELINE.json:5 targets ">=10x CPU-core-equivalent V-cycle
+DOF/s on a single chip".  The CPU-core equivalent is measured in-process: the
+same Galerkin hierarchy exported to SciPy CSR, one fp64 V-cycle in
+vectorized SciPy (optimized C matvecs) — i.e. a competent single-core CPU
+AMG doing identical work.  vs_baseline = (device DOF/s) / (10 x CPU DOF/s),
+so >= 1.0 meets the north star.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def scipy_vcycle_time(levels_csr, b, nu=2, reps=3):
+    """fp64 SciPy V-cycle on the exported hierarchy: the CPU-core baseline."""
+    import scipy.sparse.linalg as spla
+
+    mats = [lv["A"] for lv in levels_csr]
+    Ps = [lv["P"] for lv in levels_csr[:-1]]
+    Rs = [lv["R"] for lv in levels_csr[:-1]]
+    dinvs = [1.0 / lv["A"].diagonal() for lv in levels_csr]
+
+    def vcycle(k, bb):
+        A = mats[k]
+        if k == len(mats) - 1:
+            return spla.spsolve(A.tocsc(), bb)
+        x = np.zeros_like(bb)
+        for _ in range(nu // 2 or 1):
+            x = x + (2.0 / 3.0) * dinvs[k] * (bb - A @ x)
+        r = bb - A @ x
+        ec = vcycle(k + 1, Rs[k] @ r)
+        x = x + Ps[k] @ ec
+        for _ in range(nu // 2 or 1):
+            x = x + (2.0 / 3.0) * dinvs[k] * (bb - A @ x)
+        return x
+
+    vcycle(0, b)  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        vcycle(0, b)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=0, help="grid points per dim")
+    ap.add_argument("--cycles", type=int, default=20)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform not in ("cpu",)
+    size = args.size or (128 if on_tpu else 32)
+    log(f"device={dev} platform={dev.platform} size={size}^3")
+
+    from raptor_tpu.config import AmgConfig
+    from raptor_tpu.gallery import poisson_3d, default_rhs
+    from raptor_tpu.structured import (
+        DiaMatrix,
+        build_structured_hierarchy,
+        dia_from_stencil,
+        dia_to_scipy,
+        structured_solve,
+        scycle,
+    )
+
+    st = np.zeros((3, 3, 3))
+    st[1, 1, 1] = 6.0
+    for d in range(3):
+        i = [1, 1, 1]
+        for s in (0, 2):
+            i[d] = s
+            st[tuple(i)] = -1.0
+        i[d] = 1
+
+    dims = (size, size, size)
+    n = size**3
+    cfg = AmgConfig(smoother="mcgs", coarse_size=512, max_levels=40)
+
+    # ---- setup ----
+    A = dia_from_stencil(st, dims, dtype=jnp.float32)
+    jax.block_until_ready(A.data)
+    t0 = time.perf_counter()
+    hier = build_structured_hierarchy(A, cfg, dim_policy="size")
+    jax.block_until_ready(hier.levels[-1].A.data)
+    setup_s = time.perf_counter() - t0
+    log(f"setup: {setup_s:.3f}s, {len(hier.levels)} levels, "
+        f"offsets={[lv.A.n_off for lv in hier.levels]}")
+
+    # ---- V-cycle throughput ----
+    b = jnp.asarray(default_rhs(n, dtype=np.float32))
+    cyc = jax.jit(lambda h, r: scycle(h, r))
+    x = cyc(hier, b)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(args.cycles):
+        x = cyc(hier, x)
+    jax.block_until_ready(x)
+    vcycle_s = (time.perf_counter() - t0) / args.cycles
+    dofs_per_s = n / vcycle_s
+    log(f"V-cycle: {vcycle_s*1e3:.2f} ms -> {dofs_per_s/1e9:.3f} GDOF/s")
+
+    # ---- solve to true 1e-8 (fp32 device + fp64 host refinement) ----
+    import scipy.sparse as sp
+    from raptor_tpu.gallery import stencil_grid
+
+    A_sp = stencil_grid(st, dims)
+    b64 = np.asarray(b, dtype=np.float64)
+    bnorm = np.linalg.norm(b64)
+    x64 = np.zeros(n)
+    t0 = time.perf_counter()
+    iters_total = 0
+    for _ in range(4):
+        r = b64 - A_sp @ x64
+        relres = np.linalg.norm(r) / bnorm
+        if relres < args.tol:
+            break
+        inner_tol = max(args.tol / relres, 2e-5)
+        e, info = structured_solve(
+            hier, jnp.asarray(r, jnp.float32), tol=float(inner_tol), maxiter=100
+        )
+        iters_total += int(info.iterations)
+        x64 = x64 + np.asarray(e, dtype=np.float64)
+    r = b64 - A_sp @ x64
+    final_relres = float(np.linalg.norm(r) / bnorm)
+    solve_s = time.perf_counter() - t0
+    log(f"solve: {solve_s:.3f}s, {iters_total} PCG iterations, "
+        f"true relres {final_relres:.2e}")
+
+    # ---- CPU-core-equivalent baseline ----
+    cpu_size = min(size, 64)
+    if cpu_size != size:
+        Ac = dia_from_stencil(st, (cpu_size,) * 3, dtype=jnp.float32)
+        hier_c = build_structured_hierarchy(Ac, cfg, dim_policy="size")
+    else:
+        hier_c = hier
+    levels_csr = []
+    for k, lv in enumerate(hier_c.levels):
+        entry = {"A": dia_to_scipy(lv.A).astype(np.float64)}
+        if lv.Pt is not None:
+            from raptor_tpu.structured.dia import dia_to_scipy as d2s
+            from raptor_tpu.structured.solver import _c_mask
+
+            cmask = _c_mask(lv.dims, lv.cdim)
+            Pt = d2s(lv.Pt).astype(np.float64)
+            entry["P"] = Pt[:, cmask]
+            entry["R"] = entry["P"].T.tocsr()
+        levels_csr.append(entry)
+    bc = default_rhs(cpu_size**3, dtype=np.float64)
+    cpu_cycle_s = scipy_vcycle_time(levels_csr, bc)
+    cpu_dofs = cpu_size**3 / cpu_cycle_s
+    log(f"CPU-core baseline ({cpu_size}^3): {cpu_cycle_s*1e3:.2f} ms/cycle "
+        f"-> {cpu_dofs/1e6:.1f} MDOF/s")
+
+    vs_baseline = dofs_per_s / (10.0 * cpu_dofs)
+    result = {
+        "metric": "vcycle_dof_per_s_per_chip",
+        "value": dofs_per_s,
+        "unit": "DOF/s",
+        "vs_baseline": vs_baseline,
+        "detail": {
+            "problem": f"3D Poisson {size}^3 AMG-PCG (structured DIA engine)",
+            "vcycle_ms": vcycle_s * 1e3,
+            "setup_s": setup_s,
+            "solve_to_1e-8_s": solve_s,
+            "pcg_iterations": iters_total,
+            "final_relres": final_relres,
+            "cpu_core_dof_per_s": cpu_dofs,
+            "device": str(dev),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,3 +13,5 @@ __version__ = "0.1.0"
 
 from raptor_tpu.core import EllMatrix, ell_from_csr, ell_to_csr
 from raptor_tpu.ops import spmv, spgemm, rap, ell_transpose
+from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
+from raptor_tpu.api import setup, solve, solve_hier

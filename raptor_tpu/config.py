@@ -1,0 +1,72 @@
+"""Configuration dataclasses (SURVEY.md §5.6).
+
+Frozen and hashable so configs can ride along as jit static arguments.  The
+five acceptance configurations (BASELINE.json:6-12) ship as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["AmgConfig", "SolveConfig", "PRESETS"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AmgConfig:
+    """AMG hierarchy + cycle configuration.
+
+    strength:  'classical' (signed, M-matrix oriented) | 'abs' (symmetric |a_ij|)
+    splitting: 'rs' (host serial Ruge-Stüben) | 'pmis' | 'cljp' | 'aggregation'
+    interp:    'direct' | 'classical' (modified classical) | 'smoothed' (SA)
+    smoother:  'jacobi' | 'mcgs' (multicolor/red-black Gauss-Seidel) | 'chebyshev'
+    """
+
+    strength: str = "classical"
+    theta: float = 0.25
+    splitting: str = "pmis"
+    interp: str = "direct"
+    smoother: str = "jacobi"
+    omega: float = 2.0 / 3.0
+    nu1: int = 1
+    nu2: int = 1
+    cheb_degree: int = 3
+    max_levels: int = 20
+    coarse_size: int = 64
+    cycle: str = "V"
+    seed: int = 0
+    # smoothed aggregation only:
+    num_candidates: int = 1
+    sa_omega: float = 4.0 / 3.0
+    # second coarsening pass / aggressive coarsening (config 3):
+    aggressive: bool = False
+    # row padding multiple; the distributed path builds with 8*ndev so every
+    # level's padded size divides the device count (SURVEY.md §2b C19)
+    pad_multiple: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    krylov: str = "cg"  # 'cg' | 'bicgstab' | 'none' (stationary cycles)
+    tol: float = 1e-8
+    maxiter: int = 200
+    # mixed precision: inner solve dtype / outer iterative-refinement dtype
+    dtype: str = "float32"
+    refine: bool = False
+    refine_steps: int = 3
+
+
+# The five acceptance configurations (BASELINE.json:7-11).
+PRESETS: dict[str, AmgConfig] = {
+    # 1: 2D 5-pt Poisson 64x64, classical RS-AMG V(1,1), weighted Jacobi, CG
+    "config1": AmgConfig(splitting="rs", smoother="jacobi"),
+    # 2: 3D 7-pt Poisson 32^3, PMIS + red-black GS, AMG-PCG
+    "config2": AmgConfig(splitting="pmis", smoother="mcgs"),
+    # 3: 2D rotated anisotropic 9-pt, strength filtering + aggressive coarsening
+    "config3": AmgConfig(splitting="pmis", theta=0.35, aggressive=True,
+                         smoother="jacobi"),
+    # 4: 3D elasticity 27-pt BSR, smoothed aggregation, Chebyshev
+    "config4": AmgConfig(splitting="aggregation", interp="smoothed",
+                         smoother="chebyshev", num_candidates=6, theta=0.16),
+    # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange
+    "config5": AmgConfig(splitting="pmis", smoother="mcgs"),
+}

@@ -149,9 +149,9 @@ def ell_from_csr(
     K = max(K, 1)
 
     data = np.zeros((K, n_pad), dtype=dtype)
-    # Padding gather target: the row itself (square) or clamped row (rect).
-    self_col = np.minimum(np.arange(n_pad), n_cols_pad - 1).astype(np.int32)
-    cols = np.broadcast_to(self_col, (K, n_pad)).copy()
+    # Padding gather target: column 0 (value 0 annihilates the gathered entry;
+    # col 0 stays valid when n_cols_pad is re-tightened after setup).
+    cols = np.zeros((K, n_pad), dtype=np.int32)
     nnz_pad = np.zeros(n_pad, dtype=np.int32)
     nnz_pad[:n] = row_nnz
 
@@ -164,6 +164,7 @@ def ell_from_csr(
 
     if identity_pad_rows and square and n_pad > n:
         data[0, n:] = 1.0
+        cols[0, n:] = np.arange(n, n_pad)
         nnz_pad[n:] = 1
 
     return EllMatrix(

@@ -92,12 +92,12 @@ def _merge_sorted_rows(cols, vals, sentinel, k_out):
 
 
 def _fix_padding_cols(cols, row_nnz, n_cols_pad):
-    """Point padding slots at a valid self-ish column (value 0 semantics)."""
+    """Point padding slots at column 0 (value-0 semantics; stays valid if the
+    logical column space is tightened after setup)."""
+    del n_cols_pad
     k_out, n = cols.shape
     k = jax.lax.broadcasted_iota(jnp.int32, (k_out, n), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (k_out, n), 1)
-    self_col = jnp.minimum(lane, n_cols_pad - 1)
-    return jnp.where(k < row_nnz[None, :], cols, self_col)
+    return jnp.where(k < row_nnz[None, :], cols, 0)
 
 
 # ---------------------------------------------------------------------------

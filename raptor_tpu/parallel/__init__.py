@@ -1,0 +1,29 @@
+from raptor_tpu.parallel.partition import (
+    HaloPlan,
+    DistMatrix,
+    distribute_matrix,
+    repartition_pad,
+)
+from raptor_tpu.parallel.halo import halo_exchange, dist_spmv, psum_dot
+from raptor_tpu.parallel.dist import (
+    DistLevel,
+    DistHierarchy,
+    distribute_hierarchy,
+    dist_solve,
+    make_solve_mesh,
+)
+
+__all__ = [
+    "HaloPlan",
+    "DistMatrix",
+    "distribute_matrix",
+    "repartition_pad",
+    "halo_exchange",
+    "dist_spmv",
+    "psum_dot",
+    "DistLevel",
+    "DistHierarchy",
+    "distribute_hierarchy",
+    "dist_solve",
+    "make_solve_mesh",
+]

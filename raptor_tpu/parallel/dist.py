@@ -1,0 +1,306 @@
+"""Distributed AMG: sharded hierarchy + shard_map solve (SURVEY.md §2b C19).
+
+Capability reproduced: RAPtor's MPI-distributed everything — here via a
+``jax.sharding.Mesh`` with one ICI axis, ``shard_map``-wrapped solves,
+``ppermute`` halo exchange (raptor_tpu.parallel.halo) and ``psum`` dots
+(BASELINE.json:5,11 — config 5).
+
+Design:
+* Fine levels are row-sharded over the mesh axis; every SpMV (operator,
+  restriction, prolongation) is halo-exchange + local ELL SpMV.
+* Coarse levels below a threshold are *agglomerated*: replicated on all
+  devices and solved with the single-device cycle (SURVEY.md §7 hard part 5
+  — tiny coarse matrices are latency-bound, sharding them is a loss).  The
+  bridge is one all_gather of the last sharded residual (small by
+  construction) and a local slice of the correction.
+* The Krylov loop runs inside one jitted shard_map: the only global syncs
+  per iteration are the psum'd dot products (SURVEY.md §3b stack 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.core.ell import EllMatrix
+from raptor_tpu.ops.sparse_ops import spmv
+from raptor_tpu.parallel.halo import dist_spmv, psum_dot
+from raptor_tpu.parallel.partition import DistMatrix, HaloPlan, distribute_matrix
+from raptor_tpu.setup.hierarchy import Hierarchy
+from raptor_tpu.solve.cycle import _level as _tail_cycle
+from raptor_tpu.solve.krylov import bicgstab, pcg
+
+__all__ = [
+    "DistLevel",
+    "DistHierarchy",
+    "distribute_hierarchy",
+    "dist_solve",
+    "make_solve_mesh",
+]
+
+AXIS = "x"
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "Pmat", "Rmat", "dinv", "color", "cheb_lmax"],
+    meta_fields=["n_local", "ncolors", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class DistLevel:
+    A: DistMatrix
+    dinv: jax.Array  # (n_rows_global,), sharded
+    Pmat: Optional[DistMatrix]  # None on the bridge level
+    Rmat: Optional[DistMatrix]
+    color: Optional[jax.Array]
+    cheb_lmax: Optional[jax.Array]  # replicated scalar
+    n_local: int
+    ncolors: int
+    n: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "bridge_P", "bridge_R", "tail"],
+    meta_fields=["config", "ndev"],
+)
+@dataclasses.dataclass(frozen=True)
+class DistHierarchy:
+    levels: Tuple[DistLevel, ...]  # sharded levels, finest first
+    bridge_P: EllMatrix  # replicated: last sharded level's transfer ops
+    bridge_R: EllMatrix
+    tail: Hierarchy  # replicated coarse hierarchy (agglomerated)
+    config: AmgConfig
+    ndev: int
+
+
+# ---------------------------------------------------------------------------
+# Partition specs (shard_map in/out trees)
+# ---------------------------------------------------------------------------
+
+def _plan_spec(plan: HaloPlan) -> HaloPlan:
+    return HaloPlan(
+        send_idx=tuple(P(AXIS, None) for _ in plan.send_idx),
+        recv_tgt=tuple(P(AXIS, None) for _ in plan.recv_tgt),
+        offsets=plan.offsets,
+        n_local=plan.n_local,
+        n_ext=plan.n_ext,
+    )
+
+
+def _dm_spec(dm: Optional[DistMatrix]):
+    if dm is None:
+        return None
+    return DistMatrix(
+        data=P(None, AXIS), cols=P(None, AXIS), row_nnz=P(AXIS),
+        halo=_plan_spec(dm.halo), n_rows_local=dm.n_rows_local, K=dm.K,
+        shape=dm.shape,
+    )
+
+
+def _lvl_spec(lv: DistLevel) -> DistLevel:
+    return DistLevel(
+        A=_dm_spec(lv.A),
+        dinv=P(AXIS),
+        Pmat=_dm_spec(lv.Pmat),
+        Rmat=_dm_spec(lv.Rmat),
+        color=None if lv.color is None else P(AXIS),
+        cheb_lmax=None if lv.cheb_lmax is None else P(),
+        n_local=lv.n_local,
+        ncolors=lv.ncolors,
+        n=lv.n,
+    )
+
+
+def hier_spec(dh: DistHierarchy) -> DistHierarchy:
+    rep = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
+    return DistHierarchy(
+        levels=tuple(_lvl_spec(lv) for lv in dh.levels),
+        bridge_P=rep(dh.bridge_P),
+        bridge_R=rep(dh.bridge_R),
+        tail=rep(dh.tail),
+        config=dh.config,
+        ndev=dh.ndev,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution of a (pad_multiple = 8*ndev) hierarchy
+# ---------------------------------------------------------------------------
+
+def distribute_hierarchy(
+    hier: Hierarchy, ndev: int, tail_size: int = 4096
+) -> DistHierarchy:
+    """Shard the fine levels of a hierarchy built with
+    ``AmgConfig(pad_multiple=8*ndev)``; agglomerate levels <= tail_size.
+
+    At least one level is sharded and at least one stays in the tail.
+    """
+    nlev = len(hier.levels)
+    t = 1
+    while t < nlev - 1 and hier.levels[t].n > tail_size:
+        t += 1
+    # levels [0, t) sharded; [t, nlev) replicated tail
+    dlevels = []
+    for k in range(t):
+        lev = hier.levels[k]
+        A_d = distribute_matrix(lev.A, ndev)
+        if k + 1 < t:
+            nlc = hier.levels[k + 1].A.n_rows_pad // ndev
+            nlf = lev.A.n_rows_pad // ndev
+            R_d = distribute_matrix(lev.R, ndev, n_col_owned=nlf)
+            P_d = distribute_matrix(lev.P, ndev, n_col_owned=nlc)
+        else:
+            R_d = P_d = None
+        dlevels.append(
+            DistLevel(
+                A=A_d, dinv=lev.dinv, Pmat=P_d, Rmat=R_d, color=lev.color,
+                cheb_lmax=lev.cheb_lmax,
+                n_local=lev.A.n_rows_pad // ndev,
+                ncolors=lev.ncolors, n=lev.n,
+            )
+        )
+    bridge = hier.levels[t - 1]
+    tail = Hierarchy(
+        levels=hier.levels[t:], coarse_chol=hier.coarse_chol,
+        config=hier.config,
+    )
+    return DistHierarchy(
+        levels=tuple(dlevels), bridge_P=bridge.P, bridge_R=bridge.R,
+        tail=tail, config=hier.config, ndev=ndev,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed smoothers / cycle / solve (all called inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool):
+    sweeps = cfg.nu2 if backward else cfg.nu1
+    smoother = cfg.smoother
+    if sweeps == 0:
+        return x
+    if smoother == "jacobi":
+        for _ in range(sweeps):
+            x = x + cfg.omega * lev.dinv * (b - dist_spmv(lev.A, x, AXIS))
+        return x
+    if smoother == "mcgs":
+        order = list(range(lev.ncolors))
+        if backward:
+            order.reverse()
+        for _ in range(sweeps):
+            for c in order:
+                r = b - dist_spmv(lev.A, x, AXIS)
+                x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
+        return x
+    if smoother == "chebyshev":
+        lmax = lev.cheb_lmax
+        lmin = lmax / 30.0
+        d = (lmax + lmin) / 2
+        c = (lmax - lmin) / 2
+        p = jnp.zeros_like(x)
+        alpha = jnp.zeros_like(d)
+        for i in range(cfg.cheb_degree):
+            z = lev.dinv * (b - dist_spmv(lev.A, x, AXIS))
+            if i == 0:
+                p, alpha = z, 1.0 / d
+            else:
+                beta = (c * alpha / 2) ** 2
+                alpha = 1.0 / (d - beta / alpha)
+                p = z + beta * p
+            x = x + alpha * p
+        return x
+    raise ValueError(f"unknown smoother: {smoother}")
+
+
+def _dist_level_solve(dh: DistHierarchy, k: int, b):
+    """Distributed V-cycle at sharded level k (b is the owned shard)."""
+    cfg = dh.config
+    lev = dh.levels[k]
+    x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+    r = b - dist_spmv(lev.A, x, AXIS)
+    if k + 1 < len(dh.levels):
+        rc = dist_spmv(lev.Rmat, r, AXIS)
+        ec = _dist_level_solve(dh, k + 1, rc)
+        x = x + dist_spmv(lev.Pmat, ec, AXIS)
+    else:
+        # bridge to the replicated (agglomerated) tail
+        r_glob = jax.lax.all_gather(r, AXIS, tiled=True)
+        rc = spmv(dh.bridge_R, r_glob[: dh.bridge_R.n_cols_pad])
+        ec = _tail_cycle(dh.tail, cfg, 0, rc)
+        corr = spmv(dh.bridge_P, ec)
+        me = jax.lax.axis_index(AXIS)
+        x = x + jax.lax.dynamic_slice(
+            corr, (me * lev.n_local,), (lev.n_local,)
+        )
+    x = _dist_smooth(lev, cfg, b, x, backward=True)
+    return x
+
+
+def _dist_cycle(dh: DistHierarchy, b):
+    return _dist_level_solve(dh, 0, b)
+
+
+def make_solve_mesh(ndev: int | None = None) -> Mesh:
+    devs = jax.devices()
+    ndev = ndev or len(devs)
+    return jax.make_mesh((ndev,), (AXIS,), devices=devs[:ndev])
+
+
+def dist_solve(
+    dh: DistHierarchy,
+    b,
+    mesh: Mesh,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    krylov: str = "cg",
+):
+    """Jitted distributed AMG-Krylov solve.
+
+    ``b`` is the global padded rhs (host or device array); returns the global
+    solution and a replicated KrylovInfo.
+    """
+    b = jax.device_put(
+        jnp.asarray(b), NamedSharding(mesh, P(AXIS))
+    )
+
+    @partial(jax.jit, static_argnames=("krylov", "maxiter"))
+    def run(dh, b, tol, krylov, maxiter):
+        def body(dh, b):
+            lev0 = dh.levels[0]
+
+            def apply_A(x):
+                return dist_spmv(lev0.A, x, AXIS)
+
+            def apply_M(r):
+                return _dist_cycle(dh, r)
+
+            solver = pcg if krylov == "cg" else bicgstab
+            return solver(
+                apply_A, b, apply_M, tol=tol, maxiter=maxiter,
+                dot_fn=psum_dot(AXIS),
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(hier_spec(dh), P(AXIS)),
+            out_specs=(P(AXIS), jax.tree_util.tree_map(lambda _: P(), _info_struct(maxiter, b.dtype))),
+        )(dh, b)
+
+    return run(dh, b, tol, krylov, maxiter)
+
+
+def _info_struct(maxiter, dtype):
+    from raptor_tpu.solve.krylov import KrylovInfo
+
+    z = jnp.zeros(())
+    return KrylovInfo(iterations=z, status=z, relres=z,
+                      res_hist=jnp.zeros(maxiter + 1, dtype))

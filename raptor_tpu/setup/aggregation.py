@@ -1,0 +1,341 @@
+"""Smoothed-aggregation AMG setup (SURVEY.md §2b C13).
+
+Capability reproduced: RAPtor's ``aggregation/par_*`` (mis.cpp,
+aggregate.cpp, candidates.cpp, prolongation.cpp); BASELINE.json:5
+"smoothed-aggregation setup phases run end-to-end under jit",
+BASELINE.json:10 config 4 (3D elasticity, 3x3 blocks, rigid-body-mode
+candidates), PAPERS.md:5 (GPU aggregation AMG) and PAPERS.md:8 (distance-2
+MIS) for the parallel patterns.
+
+Pipeline (device-side; per-level widths resolved by the host loop):
+  1. nodal condensation of the block matrix (|a_ij| summed per b x b block),
+  2. SA symmetric strength  |a_ij| >= theta sqrt(a_ii a_jj),
+  3. distance-2 MIS roots via the PMIS engine on G^2 (boolean SpGEMM),
+  4. two rounds of neighbor assignment to the best-root aggregate,
+  5. tentative prolongator: batched QR of the near-nullspace candidates per
+     aggregate (zero-padded batch; Q rows on padding come out exactly 0),
+  6. prolongator smoothing  P = (I - omega D^{-1} A) P_tent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.core.ell import EllMatrix, pad_rows
+from raptor_tpu.ops.sparse_ops import (
+    ell_add,
+    ell_transpose,
+    spgemm,
+    spmv,
+)
+from raptor_tpu.setup.interp import add_identity_padding
+from raptor_tpu.setup.splitting import C_PT, make_perm, pmis_splitting
+from raptor_tpu.solve.smoothers import estimate_lmax
+
+__all__ = ["build_sa_hierarchy", "nodal_condense", "sa_strength_mask",
+           "aggregate", "tentative_prolongator"]
+
+
+# ---------------------------------------------------------------------------
+# 1. Nodal condensation
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bs",))
+def _condense_wide(A: EllMatrix, bs: int):
+    """Group the bs dof-rows of each node into one row (width bs*K) with
+    |value| entries and node column ids; returns sorted (cols, vals)."""
+    K, n = A.data.shape
+    nn = n // bs
+    # entry-major rows are [node0*bs + 0..bs-1, node1*bs + ...]: fold dof axis
+    data = jnp.abs(A.data).reshape(K, nn, bs)
+    cols = (A.cols // bs).reshape(K, nn, bs)
+    mask = A.slot_mask().reshape(K, nn, bs)
+    data = jnp.moveaxis(data, 2, 0).reshape(K * bs, nn)
+    cols = jnp.moveaxis(cols, 2, 0).reshape(K * bs, nn)
+    mask = jnp.moveaxis(mask, 2, 0).reshape(K * bs, nn)
+    sent = jnp.int32(nn)
+    cols = jnp.where(mask, cols, sent)
+    vals = jnp.where(mask, data, 0)
+    cols, vals = jax.lax.sort((cols, vals), dimension=0, num_keys=1)
+    return cols, vals, sent
+
+
+def nodal_condense(A: EllMatrix, bs: int) -> EllMatrix:
+    """Block matrix -> nodal matrix: C[u,v] = sum |A[bu+i, bv+j]| (host-wrapped
+    exact-width merge; the nodal graph drives aggregation)."""
+    from raptor_tpu.ops.sparse_ops import _merge_sorted_rows, _fix_padding_cols
+
+    assert A.n_rows_pad % bs == 0
+    nn = A.n_rows_pad // bs
+    cols, vals, sent = _condense_wide(A, bs)
+
+    @partial(jax.jit, static_argnames=("k_out",))
+    def merge(cols, vals, k_out):
+        oc, ov, nnz = _merge_sorted_rows(cols, vals, sent, k_out)
+        return _fix_padding_cols(oc, nnz, nn), ov, nnz
+
+    first = jnp.concatenate(
+        [jnp.ones((1, cols.shape[1]), bool), cols[1:] != cols[:-1]], axis=0
+    )
+    width = int(jnp.max(jnp.sum(first & (cols < sent), axis=0)))
+    oc, ov, nnz = merge(cols, vals, max(width, 1))
+    return EllMatrix(
+        data=ov, cols=oc, row_nnz=nnz,
+        shape=(A.shape[0] // bs if A.shape[0] % bs == 0 else nn, nn),
+        n_rows_pad=nn, n_cols_pad=nn,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. SA strength
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def sa_strength_mask(C: EllMatrix, theta: float) -> jax.Array:
+    """|c_ij| >= theta * sqrt(c_ii * c_jj), off-diagonal (symmetric SA test)."""
+    diag = C.diagonal()
+    off = (C.cols != C.row_index()) & C.slot_mask()
+    dj = jnp.take(diag, C.cols)
+    thresh = theta * jnp.sqrt(jnp.abs(diag)[None, :] * jnp.abs(dj))
+    return off & (jnp.abs(C.data) >= thresh) & (jnp.abs(C.data) > 0)
+
+
+# ---------------------------------------------------------------------------
+# 3+4. Aggregation: distance-2 MIS roots + assignment rounds
+# ---------------------------------------------------------------------------
+
+def _strength_ell(C: EllMatrix, smask, with_diag: bool) -> EllMatrix:
+    """Boolean strength pattern as an EllMatrix (1.0 entries), compacted."""
+    from raptor_tpu.ops.sparse_ops import _merge_sorted_rows, _fix_padding_cols
+
+    K, n = C.data.shape
+    keep = smask | (with_diag & (C.cols == C.row_index()) & C.slot_mask())
+    sent = jnp.int32(C.n_cols_pad)
+    cols = jnp.where(keep, C.cols, sent)
+    vals = jnp.where(keep, 1.0, 0.0).astype(C.dtype)
+    cols, vals = jax.lax.sort((cols, vals), dimension=0, num_keys=1)
+    oc, ov, nnz = _merge_sorted_rows(cols, vals, sent, K)
+    return EllMatrix(
+        data=jnp.minimum(ov, 1.0), cols=_fix_padding_cols(oc, nnz, n),
+        row_nnz=nnz, shape=C.shape, n_rows_pad=C.n_rows_pad,
+        n_cols_pad=C.n_cols_pad,
+    )
+
+
+@jax.jit
+def _assign_rounds(G: EllMatrix, smask_g, agg, w):
+    """Two rounds: unaggregated nodes join the strong neighbor's aggregate
+    with the largest weight (ties by aggregate id)."""
+
+    def one_round(agg):
+        nbr_agg = jnp.take(agg, G.cols)
+        cand = smask_g & (nbr_agg >= 0)
+        wn = jnp.where(cand, jnp.take(w, G.cols), -1)
+        m = jnp.max(wn, axis=0)
+        pick = jnp.max(jnp.where(cand & (wn == m[None, :]), nbr_agg, -1), axis=0)
+        return jnp.where((agg < 0) & (m >= 0), pick, agg)
+
+    agg = one_round(agg)
+    agg = one_round(agg)
+    return agg
+
+
+def aggregate(C: EllMatrix, smask, seed: int):
+    """Node -> aggregate id map via distance-2 MIS roots + assignment.
+
+    Returns (agg (nn,) int32 with -1 for padding/isolated, n_agg int).
+    Isolated nodes become singleton aggregates (they must still appear on the
+    coarse grid to keep P full rank over real rows).
+    """
+    nn = C.n_rows_pad
+    n = C.shape[0]
+    G = _strength_ell(C, smask, with_diag=True)
+    G2 = spgemm(G, G)
+    g2_off = (G2.cols != G2.row_index()) & G2.slot_mask()
+    perm = make_perm(n, nn, seed)
+    cf = pmis_splitting(G2, g2_off, perm)
+
+    lane = jnp.arange(nn, dtype=jnp.int32)
+    is_real = lane < n
+    is_root = (cf == C_PT) & is_real
+    # isolated real nodes (no strong neighbors at all): singleton aggregates
+    has_strong = jnp.any(smask, axis=0)
+    singleton = is_real & ~has_strong & ~is_root
+    root_like = is_root | singleton
+    agg_id = jnp.cumsum(root_like.astype(jnp.int32)) - 1
+    agg = jnp.where(root_like, agg_id, -1)
+
+    w = jnp.minimum(jnp.sum(smask, axis=0), 63) * nn + perm  # assignment pref
+    agg = _assign_rounds(G, smask, agg, w)
+
+    # stragglers (real, still unassigned): their own aggregates
+    strag = is_real & (agg < 0)
+    n_so_far = int(jnp.sum(root_like))
+    extra = jnp.cumsum(strag.astype(jnp.int32)) - 1
+    agg = jnp.where(strag, n_so_far + extra, agg)
+    n_agg = n_so_far + int(jnp.sum(strag))
+    return agg, n_agg
+
+
+# ---------------------------------------------------------------------------
+# 5. Tentative prolongator (batched QR over aggregates)
+# ---------------------------------------------------------------------------
+
+def tentative_prolongator(
+    agg: jax.Array, n_agg: int, B: jax.Array, bs: int, n_dof: int,
+    pad_multiple: int = 8,
+):
+    """P_tent (dofs x n_agg*nc ELL) and coarse candidates Bc (n_agg*nc, nc).
+
+    B is (n_dof_pad, nc).  Aggregate a's dof block of P_tent is Q_a from the
+    reduced QR of B's rows in that aggregate; Bc rows are R_a.
+    """
+    nn = agg.shape[0]
+    nc = B.shape[1]
+    counts = np.asarray(
+        jnp.zeros(n_agg + 1, jnp.int32).at[jnp.where(agg >= 0, agg, n_agg)].add(1)
+    )
+    max_nodes = int(counts[:n_agg].max()) if n_agg else 1
+
+    P_data, P_cols, p_nnz, Bc = _tentative_jit(agg, B, bs, n_agg, max_nodes, nc)
+    ncoarse = n_agg * nc
+    # coarse padded size must divide by both pad_multiple (sublane/device
+    # count) and nc (next level's block size, for nodal condensation)
+    mult = pad_multiple * nc // np.gcd(pad_multiple, nc)
+    P = EllMatrix(
+        data=P_data, cols=P_cols, row_nnz=p_nnz,
+        shape=(n_dof, ncoarse),
+        n_rows_pad=B.shape[0], n_cols_pad=pad_rows(ncoarse, mult),
+    )
+    return P, Bc, ncoarse
+
+
+@partial(jax.jit, static_argnames=("bs", "n_agg", "max_nodes", "nc"))
+def _tentative_jit(agg, B, bs: int, n_agg: int, max_nodes: int, nc: int):
+    nn = agg.shape[0]
+    n_pad = B.shape[0]
+    # slot of each node within its aggregate (sort by agg, stable in node id)
+    node = jnp.arange(nn, dtype=jnp.int32)
+    key = jnp.where(agg >= 0, agg, n_agg)
+    skey, snode = jax.lax.sort((key, node), num_keys=2)
+    first = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, node, 0))
+    slot = node - run_start
+    # node-slot table (n_agg, max_nodes): node ids, -1 padding
+    ok = (skey < n_agg) & (slot < max_nodes)
+    tbl = (
+        jnp.full((n_agg, max_nodes), -1, jnp.int32)
+        .at[jnp.where(ok, skey, 0), jnp.where(ok, slot, 0)]
+        .max(jnp.where(ok, snode, -1), mode="drop")
+    )
+    # gather candidate rows: (n_agg, max_nodes*bs, nc), zero rows for padding
+    dof_tbl = tbl[:, :, None] * bs + jnp.arange(bs)[None, None, :]
+    dof_tbl = jnp.where(tbl[:, :, None] >= 0, dof_tbl, n_pad).reshape(
+        n_agg, max_nodes * bs
+    )
+    rows = jnp.take(
+        jnp.concatenate([B, jnp.zeros((1, nc), B.dtype)], axis=0),
+        jnp.minimum(dof_tbl, n_pad), axis=0,
+    )
+    rows = jnp.where((dof_tbl < n_pad)[:, :, None], rows, 0)
+    Q, R = jnp.linalg.qr(rows, mode="reduced")  # (n_agg, mn*bs, nc), (n_agg, nc, nc)
+    # fix signs: make R diag nonnegative for determinism
+    sgn = jnp.where(jnp.diagonal(R, axis1=1, axis2=2) < 0, -1.0, 1.0)
+    Q = Q * sgn[:, None, :]
+    R = R * sgn[:, :, None]
+
+    # scatter Q back into ELL rows of P_tent: dof d of node (a, s) has row
+    # tbl[a,s]*bs+d and nc entries (cols a*nc + j, vals Q[a, s*bs+d, j]).
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (n_agg, max_nodes * bs), 0)
+    tgt_dof = jnp.where(dof_tbl < n_pad, dof_tbl, n_pad)  # drop padding
+    P_data = (
+        jnp.zeros((nc, n_pad + 1), B.dtype)
+        .at[:, tgt_dof]
+        .add(jnp.moveaxis(Q, 2, 0), mode="drop")[:, :n_pad]
+    )
+    colbase = (a_idx * nc)
+    P_cols = jnp.zeros((nc, n_pad + 1), jnp.int32)
+    cvals = colbase[None, :, :] + jnp.arange(nc, dtype=jnp.int32)[:, None, None]
+    P_cols = P_cols.at[:, tgt_dof].max(cvals, mode="drop")[:, :n_pad]
+    p_nnz = jnp.zeros(n_pad + 1, jnp.int32).at[tgt_dof].add(nc, mode="drop")[:n_pad]
+    p_nnz = jnp.minimum(p_nnz, nc)
+    Bc = R.reshape(n_agg * nc, nc)
+    return P_data, P_cols, p_nnz, Bc
+
+
+# ---------------------------------------------------------------------------
+# 6. Hierarchy driver
+# ---------------------------------------------------------------------------
+
+def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
+    """Smoothed-aggregation hierarchy (config 4, BASELINE.json:10).
+
+    ``B``: (n, nc) near-nullspace candidates (rigid body modes for
+    elasticity); defaults to the constant vector.  ``config.num_candidates``
+    caps how many are used; block size is inferred as 3 when nc >= 3 and the
+    size divides by 3 (elasticity convention) else 1.
+    """
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.setup.hierarchy import Hierarchy, Level, _dense_cholesky, _smoother_data
+
+    if B is None and isinstance(A, tuple) and len(A) in (2, 3):
+        # allow gallery tuples (A, B[, coords])
+        A, B = A[0], A[1]
+    n_in = A.shape[0]
+    if B is None:
+        B = np.ones((n_in, 1), dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)[:, : config.num_candidates]
+    nc = B.shape[1]
+    bs = 3 if (nc >= 3 and n_in % 3 == 0) else 1
+    if not isinstance(A, EllMatrix):
+        # padded size must divide by both pad_multiple and the block size
+        mult = config.pad_multiple * bs // np.gcd(config.pad_multiple, bs)
+        A = ell_from_csr(A, dtype=dtype, row_pad_multiple=mult)
+    assert A.n_rows_pad % bs == 0, (A.n_rows_pad, bs)
+    n = A.shape[0]
+
+    Bd = jnp.zeros((A.n_rows_pad, nc), dtype=dtype)
+    Bd = Bd.at[:n].set(jnp.asarray(B, dtype=dtype))
+
+    levels = []
+    while len(levels) + 1 < config.max_levels and n > config.coarse_size:
+        C = nodal_condense(A, bs) if bs > 1 else A
+        smask = sa_strength_mask(C, config.theta) if bs > 1 else sa_strength_mask(A, config.theta)
+        agg, n_agg = aggregate(C, smask, config.seed + len(levels))
+        if n_agg == 0 or n_agg * nc >= n:
+            break
+        P_t, Bc, ncoarse = tentative_prolongator(agg, n_agg, Bd, bs, n, config.pad_multiple)
+        # smooth: P = (I - omega D^{-1} A) P_t
+        dinv = 1.0 / A.diagonal()
+        lmax = estimate_lmax(A, dinv)
+        omega = config.sa_omega / float(lmax)
+        DA_P = spgemm(A.scale_rows(dinv * omega), P_t)
+        P = ell_add(P_t, DA_P, alpha=1.0, beta=-1.0)
+        R = ell_transpose(P)
+        AP = spgemm(A, P)
+        Ac = add_identity_padding(spgemm(R, AP), ncoarse)
+
+        dinv_s, color, ncolors, lmax_s = _smoother_data(A, config, smask)
+        levels.append(
+            Level(A=A, dinv=dinv_s, P=P, R=R, color=color, cheb_lmax=lmax_s,
+                  n=n, ncolors=ncolors)
+        )
+        # next level: block size nc, candidates Bc
+        A, n, bs = Ac, ncoarse, nc
+        Bd = jnp.zeros((A.n_rows_pad, nc), dtype=dtype).at[:n].set(
+            jnp.asarray(Bc, dtype=dtype)
+        )
+
+    dinv_s, color, ncolors, lmax_s = _smoother_data(A, config, None)
+    levels.append(
+        Level(A=A, dinv=dinv_s, P=None, R=None, color=color,
+              cheb_lmax=lmax_s, n=n, ncolors=ncolors)
+    )
+    chol = _dense_cholesky(A)
+    return Hierarchy(levels=tuple(levels), coarse_chol=chol, config=config)

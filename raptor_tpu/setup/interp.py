@@ -1,0 +1,120 @@
+"""Interpolation operators, jit-traceable (SURVEY.md §2b C12).
+
+Capability reproduced: RAPtor's ``interpolation.cpp`` (direct + modified
+classical interpolation; BASELINE.json:5 "interpolation").
+
+Direct interpolation with ±-splitting (matches the oracle,
+tests/oracle/amg_oracle.py::direct_interpolation): for F point i with strong
+C neighbors C_i,
+
+    alpha = sum_{k in N_i} a_ik^-  /  sum_{j in C_i} a_ij^-
+    beta  = sum_{k in N_i} a_ik^+  /  sum_{j in C_i} a_ij^+
+    w_ij  = -(alpha * a_ij^-  +  beta * a_ij^+) / a~_ii
+
+with positive couplings absorbed into the diagonal when C_i has none.
+Entirely per-row vector work in the entry-major layout; output width is A's
+slot count (strong C neighbors are a subset of the row).
+
+The jitted kernel cannot know the coarse count n_c (data-dependent), so the
+returned P uses the fine padded size as its column-space upper bound; the
+host hierarchy loop reads n_c once per level and re-tightens the metadata
+(SURVEY.md §7 hard part 1: static shapes via a host-driven level loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from raptor_tpu.core.ell import EllMatrix, pad_rows
+from raptor_tpu.setup.splitting import C_PT
+
+__all__ = ["direct_interpolation", "tighten_coarse_space", "add_identity_padding"]
+
+
+@jax.jit
+def direct_interpolation(
+    A: EllMatrix, smask: jax.Array, cf: jax.Array
+) -> tuple[EllMatrix, jax.Array]:
+    """Build P from the C/F splitting. Returns (P, n_coarse).
+
+    P's rows: identity for C points, direct-interpolation weights on strong C
+    neighbors for F points, empty for isolated F points.  P.n_cols_pad is the
+    fine padded size (upper bound) — see ``tighten_coarse_space``.
+    """
+    K, n = A.data.shape
+    is_c = cf == C_PT
+    cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
+    row = A.row_index()
+    off = (A.cols != row) & A.slot_mask()
+    a = A.data
+    diag = A.diagonal()
+
+    strong_c = smask & jnp.take(is_c, A.cols)
+    neg = off & (a < 0)
+    pos = off & (a > 0)
+    num_neg = jnp.sum(jnp.where(neg, a, 0), axis=0)
+    num_pos = jnp.sum(jnp.where(pos, a, 0), axis=0)
+    den_neg = jnp.sum(jnp.where(strong_c & (a < 0), a, 0), axis=0)
+    den_pos = jnp.sum(jnp.where(strong_c & (a > 0), a, 0), axis=0)
+    alpha = jnp.where(den_neg != 0, num_neg / jnp.where(den_neg != 0, den_neg, 1), 0)
+    beta = jnp.where(den_pos != 0, num_pos / jnp.where(den_pos != 0, den_pos, 1), 0)
+    dii = diag + jnp.where(den_pos == 0, num_pos, 0)
+
+    coef = jnp.where(a < 0, alpha[None, :], beta[None, :])
+    w = -(coef * a) / dii[None, :]
+    pvals = jnp.where(strong_c, w, 0)
+    pcols = jnp.take(cmap, A.cols)
+
+    # compact strong-C slots to the front of each row
+    slotpos = jnp.cumsum(strong_c.astype(jnp.int32), axis=0) - 1
+    posk = jnp.where(strong_c, slotpos, K)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, n), 1)
+    P_data = jnp.zeros((K, n), A.dtype).at[posk, lane].add(pvals, mode="drop")
+    P_cols = jnp.zeros((K, n), jnp.int32).at[posk, lane].max(pcols, mode="drop")
+    p_nnz = jnp.sum(strong_c, axis=0).astype(jnp.int32)
+
+    # C rows: identity
+    k0 = jax.lax.broadcasted_iota(jnp.int32, (K, n), 0) == 0
+    own = jnp.where(k0, cmap[None, :], 0)
+    P_data = jnp.where(is_c[None, :], jnp.where(k0, 1.0, 0.0).astype(A.dtype), P_data)
+    P_cols = jnp.where(is_c[None, :], own, P_cols)
+    p_nnz = jnp.where(is_c, 1, p_nnz)
+
+    nc = jnp.sum(is_c.astype(jnp.int32))
+    P = EllMatrix(
+        data=P_data,
+        cols=P_cols,
+        row_nnz=p_nnz,
+        shape=(A.shape[0], A.n_rows_pad),  # logical n_cols fixed by host
+        n_rows_pad=A.n_rows_pad,
+        n_cols_pad=A.n_rows_pad,  # upper bound; tightened on host
+    )
+    return P, nc
+
+
+def tighten_coarse_space(P: EllMatrix, nc: int, pad_multiple: int = 8) -> EllMatrix:
+    """Host step: shrink P's column space to the measured coarse size
+    (metadata only — all stored column indices are already < nc)."""
+    return dataclasses.replace(
+        P,
+        shape=(P.shape[0], nc),
+        n_cols_pad=pad_rows(nc, pad_multiple),
+    )
+
+
+def add_identity_padding(A: EllMatrix, n: int) -> EllMatrix:
+    """Give rows >= n (coarse padding produced by RAP) a unit diagonal so the
+    padded operator stays SPD (n is static: the host knows the coarse size)."""
+    if A.n_rows_pad == n:
+        return A
+    K, npad = A.data.shape
+    row = A.row_index()
+    k0 = jax.lax.broadcasted_iota(jnp.int32, (K, npad), 0) == 0
+    padrow = row >= n
+    data = jnp.where(padrow & k0, 1.0, jnp.where(padrow, 0.0, A.data)).astype(A.dtype)
+    cols = jnp.where(padrow & k0, row, jnp.where(padrow, 0, A.cols))
+    row_nnz = jnp.where(jnp.arange(npad) >= n, 1, A.row_nnz).astype(jnp.int32)
+    return dataclasses.replace(A, data=data, cols=cols, row_nnz=row_nnz)

@@ -1,0 +1,117 @@
+"""C/F splittings: jitted PMIS (parallel) and host serial Ruge-Stüben.
+
+Capability reproduced: RAPtor's ``splitting.cpp`` / ``par_splitting.cpp``
+(SURVEY.md §2b C10/C11; BASELINE.json:5 "classical (Ruge-Stuben/PMIS/CLJP)";
+BASELINE.json:8 PMIS for config 2).
+
+PMIS is the TPU-native workhorse: a Luby-style maximal-independent-set
+iteration on the symmetrized strength graph, expressed with scatter-max over
+strong edges — each round is O(nnz) vector work, the trip count is the
+data-dependent MIS depth (O(log n) w.h.p.) under a bounded
+``lax.while_loop`` (SURVEY.md §7 hard part 2).
+
+Weights are exact int32: w_i = min(lambda_i, 63) * n_pad + perm_i with a
+host-supplied random permutation, reproducing the oracle's total order
+(tests/oracle/amg_oracle.py::pmis_weights) with no floating-point ties.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.core.ell import EllMatrix
+from raptor_tpu.setup.strength import strong_transpose_counts
+
+__all__ = ["UNDECIDED", "C_PT", "F_PT", "pmis_splitting", "rs_splitting_host",
+           "make_perm"]
+
+UNDECIDED, C_PT, F_PT = 0, 1, 2
+
+
+def make_perm(n: int, n_pad: int, seed: int = 0) -> jax.Array:
+    """Random permutation tie-break weights; padding rows get the tail values
+    (they are isolated and forced F regardless)."""
+    perm = np.empty(n_pad, dtype=np.int32)
+    perm[:n] = np.random.default_rng(seed).permutation(n)
+    perm[n:] = np.arange(n, n_pad)
+    return jnp.asarray(perm)
+
+
+@jax.jit
+def pmis_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array:
+    """PMIS C/F splitting. Returns (n_pad,) int32 in {C_PT, F_PT}."""
+    n = A.n_rows_pad
+    lam = strong_transpose_counts(A, smask)
+    w = jnp.minimum(lam, 63) * jnp.int32(n) + perm
+
+    row = A.row_index()
+    tgt = jnp.where(smask, A.cols, n)  # scatter target per strong edge
+
+    has_out = jnp.any(smask, axis=0)
+    iso = ~has_out & (lam == 0)
+    cf = jnp.where(iso, F_PT, UNDECIDED).astype(jnp.int32)
+
+    def body(state):
+        cf, it = state
+        und = cf == UNDECIDED
+        w_und = jnp.where(und, w, -1)
+        # max undecided-neighbor weight over S_i (deps) and S^T_i (dependents)
+        row_part = jnp.max(jnp.where(smask, jnp.take(w_und, A.cols), -1), axis=0)
+        edge_w = jnp.where(smask, jnp.take(w_und, row), -1)
+        col_part = jnp.full(n, -1, jnp.int32).at[tgt].max(edge_w, mode="drop")
+        nmax = jnp.maximum(row_part, col_part)
+        cf = jnp.where(und & (w > nmax), C_PT, cf)
+        # neighbors of C become F
+        c = (cf == C_PT)
+        c_row = jnp.any(smask & jnp.take(c, A.cols), axis=0)
+        edge_c = (smask & jnp.take(c, row)).astype(jnp.int32)
+        c_col = jnp.zeros(n, jnp.int32).at[tgt].max(edge_c, mode="drop") > 0
+        cf = jnp.where((cf == UNDECIDED) & (c_row | c_col), F_PT, cf)
+        return cf, it + 1
+
+    def cond(state):
+        cf, it = state
+        return jnp.any(cf == UNDECIDED) & (it < 1000)
+
+    cf, _ = jax.lax.while_loop(cond, body, (cf, jnp.int32(0)))
+    return cf
+
+
+def rs_splitting_host(S_csr) -> np.ndarray:
+    """Serial classical Ruge-Stüben first-pass splitting (host NumPy).
+
+    Inherently sequential (priority queue over dynamic weights), so it runs
+    on host for the CPU-runnable config 1 (BASELINE.json:7); PMIS/CLJP are
+    the on-device parallel classical splittings.
+    """
+    import heapq
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix(S_csr)
+    n = S.shape[0]
+    St = S.T.tocsr()
+    lam = np.asarray(St.sum(axis=1)).ravel().astype(np.float64)
+    cf = np.full(n, UNDECIDED, dtype=np.int8)
+    iso = (lam == 0) & (np.diff(S.indptr) == 0)
+    cf[iso] = F_PT
+
+    heap = [(-lam[i], i) for i in range(n) if cf[i] == UNDECIDED]
+    heapq.heapify(heap)
+    while heap:
+        negw, i = heapq.heappop(heap)
+        if cf[i] != UNDECIDED or -negw != lam[i]:
+            continue
+        cf[i] = C_PT
+        for j in St.indices[St.indptr[i]: St.indptr[i + 1]]:
+            if cf[j] == UNDECIDED:
+                cf[j] = F_PT
+                for k in S.indices[S.indptr[j]: S.indptr[j + 1]]:
+                    if cf[k] == UNDECIDED:
+                        lam[k] += 1
+                        heapq.heappush(heap, (-lam[k], k))
+    cf[cf == UNDECIDED] = F_PT
+    return cf.astype(np.int32)

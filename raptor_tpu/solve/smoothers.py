@@ -1,0 +1,126 @@
+"""Smoothers: weighted Jacobi, multicolor (red-black) Gauss-Seidel, Chebyshev.
+
+Capability reproduced: RAPtor's ``relax.cpp`` (jacobi / sor / gauss-seidel;
+SURVEY.md §2b C15).  BASELINE.json:5 prescribes the parallel recast: "hybrid
+Gauss-Seidel recast as red-black/Chebyshev for parallelism" — sequential GS
+sweeps become (a) multicolor sweeps (one masked Jacobi-like update per color,
+exactly red-black on 5-/7-point stencils) and (b) Chebyshev polynomial
+smoothing (PAPERS.md:7,9), both fully parallel on the VPU.
+
+All functions are jit-traceable and allocation-free in the solve loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from raptor_tpu.core.ell import EllMatrix
+from raptor_tpu.ops.sparse_ops import spmv
+
+__all__ = ["jacobi", "multicolor_gs", "chebyshev", "estimate_lmax",
+           "greedy_coloring_host"]
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi(A: EllMatrix, dinv, b, x, omega: float = 2.0 / 3.0, sweeps: int = 1):
+    """x <- x + omega D^{-1} (b - A x), ``sweeps`` times."""
+    def body(_, x):
+        return x + omega * dinv * (b - spmv(A, x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+@partial(jax.jit, static_argnames=("ncolors", "sweeps", "backward"))
+def multicolor_gs(
+    A: EllMatrix,
+    dinv,
+    b,
+    x,
+    color,
+    ncolors: int,
+    sweeps: int = 1,
+    backward: bool = False,
+):
+    """Multicolor Gauss-Seidel: per color c, x_c <- x_c + (D^{-1}(b - Ax))_c.
+
+    With 2 colors on a bipartite stencil graph this is exactly red-black GS
+    (BASELINE.json:8).  ``backward`` reverses the color order so a
+    forward-pre / backward-post pair keeps the V-cycle symmetric (required
+    for CG preconditioning).
+    """
+    order = list(range(ncolors))
+    if backward:
+        order.reverse()
+
+    def sweep(_, x):
+        for c in order:
+            r = b - spmv(A, x)
+            x = x + jnp.where(color == c, dinv * r, 0)
+        return x
+
+    return jax.lax.fori_loop(0, sweeps, sweep, x)
+
+
+@partial(jax.jit, static_argnames=("degree",))
+def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3):
+    """Chebyshev polynomial smoothing on D^{-1}A over [lmin, lmax].
+
+    Standard three-term Chebyshev semi-iteration (Saad, Iterative Methods,
+    Alg. 12.1), preconditioned by the diagonal; fully parallel — the
+    polynomial replacement for Gauss-Seidel strength (PAPERS.md:7).
+    """
+    d = (lmax + lmin) / 2
+    c = (lmax - lmin) / 2
+    p = jnp.zeros_like(x)
+    alpha = jnp.zeros_like(d)
+    for i in range(degree):
+        z = dinv * (b - spmv(A, x))
+        if i == 0:
+            p = z
+            alpha = 1.0 / d
+        else:
+            beta = (c * alpha / 2) ** 2
+            alpha = 1.0 / (d - beta / alpha)
+            p = z + beta * p
+        x = x + alpha * p
+    return x
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def estimate_lmax(A: EllMatrix, dinv, iters: int = 30, safety: float = 1.05):
+    """Largest eigenvalue of D^{-1}A by power iteration (jitted, fixed trip
+    count — runs at setup; BASELINE.json:10 Chebyshev needs the estimate)."""
+    n = A.n_rows_pad
+    i = jnp.arange(n, dtype=A.dtype)
+    v = jnp.sin(i * 0.7511) + 0.01  # deterministic, non-degenerate start
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, v):
+        w = dinv * spmv(A, v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = dinv * spmv(A, v)
+    return safety * jnp.vdot(v, w) / jnp.vdot(v, v)
+
+
+def greedy_coloring_host(indptr, indices, n) -> tuple:
+    """Greedy graph coloring on host (setup-only; SURVEY.md §2b C15).
+
+    Natural-order greedy gives exactly 2 colors (red-black) on bipartite
+    stencil graphs.  Returns (color array, ncolors).
+    """
+    import numpy as np
+
+    color = -np.ones(n, dtype=np.int32)
+    for i in range(n):
+        nbr = indices[indptr[i]: indptr[i + 1]]
+        used = set(color[nbr[nbr < i]].tolist()) if nbr.size else set()
+        c = 0
+        while c in used:
+            c += 1
+        color[i] = c
+    return color, int(color.max()) + 1

@@ -1,0 +1,35 @@
+from raptor_tpu.structured.dia import (
+    DiaMatrix,
+    dia_from_stencil,
+    dia_from_scipy,
+    dia_to_scipy,
+    dia_spmv,
+    dia_mult,
+    dia_transpose,
+    dia_add,
+    dia_rap,
+)
+from raptor_tpu.structured.solver import (
+    SLevel,
+    SHierarchy,
+    build_structured_hierarchy,
+    structured_solve,
+    scycle,
+)
+
+__all__ = [
+    "DiaMatrix",
+    "dia_from_stencil",
+    "dia_from_scipy",
+    "dia_to_scipy",
+    "dia_spmv",
+    "dia_mult",
+    "dia_transpose",
+    "dia_add",
+    "dia_rap",
+    "SLevel",
+    "SHierarchy",
+    "build_structured_hierarchy",
+    "structured_solve",
+    "scycle",
+]

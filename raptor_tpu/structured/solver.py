@@ -1,0 +1,344 @@
+"""Structured multigrid engine: semicoarsening + operator-collapsed
+interpolation on DIA operators — the TPU speed-of-light solve path.
+
+This is the structured-grid recast of the AMG stack (the "par_stencil" side
+of the reference capability, SURVEY.md §2b C18): when the operator lives on
+a regular grid (all five BASELINE.json configs), coarsening every second
+plane along one dimension per level keeps every grid regular, so
+
+* restriction/prolongation compact/expand via *strided reshapes* (no gather),
+* all level operators stay DIA (SpMV = rolls at HBM bandwidth),
+* the Galerkin RAP is the static-offset DIA product (no width measurement),
+* C/F structure is implicit — setup truly runs end-to-end under one jit
+  (BASELINE.json:5), including the hierarchy construction.
+
+Interpolation is operator-dependent 1D collapsing (black-box-MG style): an
+F-plane point splits its row between its two in-line C neighbors,
+  w_∓ = -(Σ_{o_d = ∓1} a_o) / (Σ_{o_d = 0} a_o),
+which reproduces linear interpolation on Poisson and adapts to coefficient
+jumps/anisotropy.  The coarsening dimension alternates (largest dim first)
+or follows the operator's strongest coupling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.structured.dia import (
+    DiaMatrix,
+    boundary_mask,
+    dia_add,
+    dia_mult,
+    dia_prune,
+    dia_spmv,
+    dia_transpose,
+    _linear,
+)
+
+__all__ = ["SLevel", "SHierarchy", "build_structured_hierarchy",
+           "structured_solve", "scycle"]
+
+Vec = Tuple[int, ...]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "Pt", "Rt", "dinv", "cheb_lmax"],
+    meta_fields=["dims", "cdim"],
+)
+@dataclasses.dataclass(frozen=True)
+class SLevel:
+    A: DiaMatrix  # operator on this level's grid
+    Pt: Optional[DiaMatrix]  # embedded prolongation (this grid), None at coarsest
+    Rt: Optional[DiaMatrix]
+    dinv: jax.Array
+    cheb_lmax: Optional[jax.Array]
+    dims: Vec
+    cdim: int  # dimension coarsened to reach the next level (-1 at coarsest)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "coarse_chol"],
+    meta_fields=["config"],
+)
+@dataclasses.dataclass(frozen=True)
+class SHierarchy:
+    levels: Tuple[SLevel, ...]
+    coarse_chol: jax.Array
+    config: AmgConfig
+
+
+# ---------------------------------------------------------------------------
+# grid helpers (all static / trace-time)
+# ---------------------------------------------------------------------------
+
+def _coarse_dims(dims: Vec, d: int) -> Vec:
+    out = list(dims)
+    out[d] = (dims[d] + 1) // 2
+    return tuple(out)
+
+
+def _compact(v: jax.Array, dims: Vec, d: int) -> jax.Array:
+    sl = tuple(slice(None, None, 2) if ax == d else slice(None)
+               for ax in range(len(dims)))
+    return v.reshape(dims)[sl].reshape(-1)
+
+
+def _expand(vc: jax.Array, dims: Vec, d: int) -> jax.Array:
+    sl = tuple(slice(None, None, 2) if ax == d else slice(None)
+               for ax in range(len(dims)))
+    out = jnp.zeros(dims, vc.dtype)
+    out = out.at[sl].set(vc.reshape(_coarse_dims(dims, d)))
+    return out.reshape(-1)
+
+
+def _parity(dims: Vec) -> jax.Array:
+    """(n,) int32 red-black coloring of the grid (computed at trace time)."""
+    acc = None
+    for ax in range(len(dims)):
+        io = jax.lax.broadcasted_iota(jnp.int32, dims, ax)
+        acc = io if acc is None else acc + io
+    return (acc % 2).reshape(-1)
+
+
+def _c_mask(dims: Vec, d: int) -> np.ndarray:
+    """(n,) bool: coord_d even (host/static)."""
+    m = np.zeros(dims, dtype=bool)
+    sl = tuple(slice(None, None, 2) if ax == d else slice(None)
+               for ax in range(len(dims)))
+    m[sl] = True
+    return m.ravel()
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+def _collapse_weights(A: DiaMatrix, d: int):
+    """Operator-collapsed line weights: w∓ = -(Σ_{o_d=∓1} a)/(Σ_{o_d=0} a)."""
+    neg = [k for k, o in enumerate(A.offsets) if o[d] == -1]
+    zer = [k for k, o in enumerate(A.offsets) if o[d] == 0]
+    pos = [k for k, o in enumerate(A.offsets) if o[d] == 1]
+
+    def ssum(ks):
+        if not ks:
+            return jnp.zeros(A.n, A.dtype)
+        acc = A.data[ks[0]]
+        for k in ks[1:]:
+            acc = acc + A.data[k]
+        return acc
+
+    denom = ssum(zer)
+    denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    return -ssum(neg) / denom, -ssum(pos) / denom
+
+
+def _build_transfer(A: DiaMatrix, d: int) -> DiaMatrix:
+    """Embedded prolongation Pt on A's grid: identity at C planes (coord_d
+    even), line interpolation from the two in-line C neighbors at F planes."""
+    dims = A.dims
+    cm = jnp.asarray(_c_mask(dims, d))
+    fm = ~cm
+    w_m, w_p = _collapse_weights(A, d)
+    e = tuple(1 if ax == d else 0 for ax in range(len(dims)))
+    ne = tuple(-1 if ax == d else 0 for ax in range(len(dims)))
+    bm_p = jnp.asarray(boundary_mask(dims, e))
+    bm_m = jnp.asarray(boundary_mask(dims, ne))
+    zero_off = tuple([0] * len(dims))
+    data = jnp.stack([
+        jnp.where(fm & bm_m, w_m, 0.0).astype(A.dtype),
+        cm.astype(A.dtype),
+        jnp.where(fm & bm_p, w_p, 0.0).astype(A.dtype),
+    ])
+    return DiaMatrix(data=data, offsets=(ne, zero_off, e), dims=dims)
+
+
+def _compact_dia(Ae: DiaMatrix, d: int) -> DiaMatrix:
+    """Restrict an embedded C-row/C-col operator to the coarse grid."""
+    dims = Ae.dims
+    cd = _coarse_dims(dims, d)
+    planes, offs = [], []
+    for k, o in enumerate(Ae.offsets):
+        if o[d] % 2 != 0:
+            continue  # identically zero between C points
+        oc = tuple(v // 2 if ax == d else v for ax, v in enumerate(o))
+        plane = _compact(Ae.data[k], dims, d)
+        # re-truncate for the coarse grid box
+        plane = plane * jnp.asarray(boundary_mask(cd, oc), Ae.dtype)
+        planes.append(plane)
+        offs.append(oc)
+    return DiaMatrix(data=jnp.stack(planes), offsets=tuple(offs), dims=cd)
+
+
+def _estimate_lmax_dia(A: DiaMatrix, dinv, iters: int = 25, safety=1.05):
+    i = jnp.arange(A.n, dtype=A.dtype)
+    v = jnp.sin(i * 0.7511) + 0.01
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, v):
+        w = dinv * dia_spmv(A, v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = dinv * dia_spmv(A, v)
+    return safety * jnp.vdot(v, w) / jnp.vdot(v, v)
+
+
+def _choose_dim(A: DiaMatrix, policy: str) -> int:
+    """Coarsening dimension: largest extent (static) or strongest coupling
+    (one tiny host sync at setup)."""
+    dims = A.dims
+    if policy == "size":
+        return int(np.argmax(dims))
+    # operator policy: per-dim coupling = sum |a_o| over offsets moving
+    # only along that dim
+    s = []
+    for ax in range(len(dims)):
+        ks = [k for k, o in enumerate(A.offsets)
+              if o[ax] != 0 and all(o[j] == 0 for j in range(len(dims)) if j != ax)]
+        s.append(float(sum(jnp.sum(jnp.abs(A.data[k])) for k in ks)) if ks else 0.0)
+    s = [v * (1.0 if dims[ax] > 3 else 0.0) for ax, v in enumerate(s)]
+    return int(np.argmax(s))
+
+
+def build_structured_hierarchy(
+    A: DiaMatrix,
+    config: AmgConfig = AmgConfig(smoother="mcgs"),
+    dim_policy: str = "operator",
+) -> SHierarchy:
+    """Semicoarsening hierarchy.  Fully static control flow — every level's
+    shapes/offsets derive from the grid dims, so the whole setup can be
+    jitted end-to-end (the level loop here runs at trace time)."""
+    levels = []
+    while len(levels) + 1 < config.max_levels and A.n > config.coarse_size \
+            and max(A.dims) > 3:
+        d = _choose_dim(A, dim_policy)
+        Pt = _build_transfer(A, d)
+        Rt = dia_transpose(Pt)
+        Ae = dia_mult(Rt, dia_mult(A, Pt))
+        Ac = dia_prune(_compact_dia(Ae, d), tol=1e-12)
+        dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
+        lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
+        levels.append(SLevel(A=A, Pt=Pt, Rt=Rt, dinv=dinv, cheb_lmax=lmax,
+                             dims=A.dims, cdim=d))
+        A = Ac
+
+    dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
+    lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
+    levels.append(SLevel(A=A, Pt=None, Rt=None, dinv=dinv, cheb_lmax=lmax,
+                         dims=A.dims, cdim=-1))
+    chol = _dia_dense_cholesky(A)
+    return SHierarchy(levels=tuple(levels), coarse_chol=chol, config=config)
+
+
+@partial(jax.jit, static_argnames=())
+def _dia_dense_cholesky(A: DiaMatrix) -> jax.Array:
+    n = A.n
+    dense = jnp.zeros((n, n), A.dtype)
+    rows = jnp.arange(n)
+    for k, off in enumerate(A.offsets):
+        lin = _linear(off, A.dims)
+        cols = jnp.clip(rows + lin, 0, n - 1)
+        valid = jnp.asarray(boundary_mask(A.dims, off))
+        dense = dense.at[rows, cols].add(jnp.where(valid, A.data[k], 0.0))
+    # regularize empty rows (possible on tiny padded boxes)
+    diag_fix = jnp.where(jnp.abs(jnp.diagonal(dense)) > 0, 0.0, 1.0)
+    dense = dense + jnp.diag(diag_fix)
+    return jax.scipy.linalg.cholesky(dense, lower=True)
+
+
+# ---------------------------------------------------------------------------
+# cycle + solve
+# ---------------------------------------------------------------------------
+
+def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
+    sweeps = cfg.nu2 if backward else cfg.nu1
+    if sweeps == 0:
+        return x
+    if cfg.smoother == "jacobi":
+        for _ in range(sweeps):
+            x = x + cfg.omega * lev.dinv * (b - dia_spmv(lev.A, x))
+        return x
+    if cfg.smoother == "mcgs":  # exact red-black on the grid
+        parity = _parity(lev.dims)
+        order = (1, 0) if backward else (0, 1)
+        for _ in range(sweeps):
+            for c in order:
+                r = b - dia_spmv(lev.A, x)
+                x = x + jnp.where(parity == c, lev.dinv * r, 0)
+        return x
+    if cfg.smoother == "chebyshev":
+        lmax = lev.cheb_lmax
+        lmin = lmax / 30.0
+        dd = (lmax + lmin) / 2
+        cc = (lmax - lmin) / 2
+        p = jnp.zeros_like(x)
+        alpha = jnp.zeros_like(dd)
+        for i in range(cfg.cheb_degree):
+            z = lev.dinv * (b - dia_spmv(lev.A, x))
+            if i == 0:
+                p, alpha = z, 1.0 / dd
+            else:
+                beta = (cc * alpha / 2) ** 2
+                alpha = 1.0 / (dd - beta / alpha)
+                p = z + beta * p
+            x = x + alpha * p
+        return x
+    raise ValueError(cfg.smoother)
+
+
+def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
+    lev = hier.levels[k]
+    if k == len(hier.levels) - 1:
+        L = hier.coarse_chol
+        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+    r = b - dia_spmv(lev.A, x)
+    rc = _compact(dia_spmv(lev.Rt, r), lev.dims, lev.cdim)
+    ec = _slevel(hier, cfg, k + 1, rc)
+    if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
+        Ac = hier.levels[k + 1].A
+        ec = ec + _slevel(hier, cfg, k + 1, rc - dia_spmv(Ac, ec))
+    x = x + dia_spmv(lev.Pt, _expand(ec, lev.dims, lev.cdim))
+    x = _smooth(lev, cfg, b, x, backward=True)
+    return x
+
+
+def scycle(hier: SHierarchy, b, cfg: AmgConfig | None = None):
+    """One structured V-/W-cycle (the preconditioner application)."""
+    return _slevel(hier, cfg or hier.config, 0, b)
+
+
+@partial(jax.jit, static_argnames=("krylov", "maxiter", "precondition"))
+def structured_solve(
+    hier: SHierarchy,
+    b: jax.Array,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    krylov: str = "cg",
+    precondition: bool = True,
+):
+    """Jitted structured AMG-PCG solve (one program, no host round-trips)."""
+    A = hier.levels[0].A
+
+    def apply_A(x):
+        return dia_spmv(A, x)
+
+    if precondition:
+        def apply_M(r):
+            return scycle(hier, r)
+    else:
+        apply_M = lambda r: r
+
+    solver = pcg if krylov == "cg" else bicgstab
+    return solver(apply_A, b, apply_M, tol=tol, maxiter=maxiter)

@@ -1,0 +1,110 @@
+"""End-to-end acceptance configs (BASELINE.json:7-10) on CPU devices.
+
+Each test asserts: (a) residual <= 1e-8, (b) iteration count within a fixed
+regression fence (calibrated at first green vs. the oracle, SURVEY.md §4.2),
+(c) operator complexity in a sane range, (d) true residual agrees.
+"""
+
+import numpy as np
+import pytest
+
+from raptor_tpu import solve, AmgConfig, SolveConfig
+from raptor_tpu.gallery import (
+    poisson_2d,
+    poisson_3d,
+    anisotropic_2d,
+    default_rhs,
+)
+
+FP64 = SolveConfig(dtype="float64")
+
+
+def check(A, info, x, b, max_iters, max_opc=2.6, tol=1e-8):
+    assert info["relres"] <= tol
+    assert info["iterations"] <= max_iters, info
+    assert info["stats"]["operator_complexity"] <= max_opc, info["stats"]
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 10 * tol
+
+
+def test_config1_rs_jacobi_cg():
+    """2D 5-pt Poisson 64x64, classical RS-AMG V(1,1), weighted Jacobi, CG
+    (BASELINE.json:7).  Oracle reaches 1e-8 in 8 iterations."""
+    A = poisson_2d(64)
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, AmgConfig(splitting="rs", smoother="jacobi"), FP64)
+    check(A, info, x, b, max_iters=10)
+
+
+def test_config1_matches_oracle_iterations():
+    from tests.oracle import amg_oracle as oracle
+
+    A = poisson_2d(64)
+    b = default_rhs(A.shape[0])
+    _, it_oracle, _ = oracle.amg_pcg(A, b, tol=1e-8, splitting="rs")
+    _, info = solve(A, b, AmgConfig(splitting="rs", smoother="jacobi"), FP64)
+    assert abs(info["iterations"] - it_oracle) <= 1
+
+
+def test_config2_pmis_mcgs_pcg():
+    """3D 7-pt Poisson, PMIS + red-black GS, AMG-PCG (BASELINE.json:8).
+    CI size 16^3; the full 32^3 runs in bench."""
+    A = poisson_3d(16)
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, AmgConfig(splitting="pmis", smoother="mcgs"), FP64)
+    check(A, info, x, b, max_iters=15)
+
+
+def test_config3_anisotropic():
+    """2D rotated anisotropic diffusion (BASELINE.json:9)."""
+    A = anisotropic_2d(32, epsilon=1e-3, theta=np.pi / 6)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis", theta=0.35, smoother="jacobi"), FP64
+    )
+    check(A, info, x, b, max_iters=35, max_opc=2.0)
+
+
+def test_fp32_with_refinement():
+    """Mixed precision: fp32 inner AMG-PCG + fp64 refinement reaches 1e-8
+    (the TPU path; fp32 alone cannot certify 1e-8)."""
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis"),
+        SolveConfig(dtype="float32", refine=True, refine_steps=4),
+    )
+    assert info["relres"] <= 1e-8
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_bicgstab():
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis"),
+        SolveConfig(dtype="float64", krylov="bicgstab"),
+    )
+    assert info["relres"] <= 1e-8
+    assert info["iterations"] <= 12
+
+
+def test_stationary_cycles():
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="rs"),
+        SolveConfig(dtype="float64", krylov="none", maxiter=60),
+    )
+    assert info["relres"] <= 1e-8
+
+
+def test_wcycle():
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    _, info_v = solve(A, b, AmgConfig(splitting="pmis", cycle="V"), FP64)
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis", cycle="W"), FP64
+    )
+    assert info["relres"] <= 1e-8
+    # W-cycle must not be weaker than V (regression fence: V=17, W=13)
+    assert info["iterations"] <= info_v["iterations"]

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from raptor_tpu import AmgConfig, SolveConfig, solve
+from raptor_tpu.core import ell_from_csr, ell_to_csr
+from raptor_tpu.gallery import poisson_2d, elasticity_3d, default_rhs
+from raptor_tpu.setup.aggregation import (
+    aggregate,
+    build_sa_hierarchy,
+    nodal_condense,
+    sa_strength_mask,
+    tentative_prolongator,
+)
+
+SA_CFG = AmgConfig(splitting="aggregation", interp="smoothed",
+                   smoother="chebyshev", theta=0.16)
+
+
+def test_nodal_condense():
+    A, B, _ = elasticity_3d(3)
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=24)
+    C = nodal_condense(E, 3)
+    n_nodes = A.shape[0] // 3
+    got = ell_to_csr(C)[:n_nodes, :n_nodes].toarray()
+    ref = np.zeros((n_nodes, n_nodes))
+    Ad = abs(A.toarray())
+    for u in range(n_nodes):
+        for v in range(n_nodes):
+            ref[u, v] = Ad[3*u:3*u+3, 3*v:3*v+3].sum()
+    assert np.allclose(got, ref, atol=1e-10)
+
+
+def test_aggregate_covers_all():
+    A = poisson_2d(16)
+    E = ell_from_csr(A, dtype=np.float64)
+    sm = sa_strength_mask(E, 0.25)
+    agg, n_agg = aggregate(E, sm, seed=0)
+    agg = np.asarray(agg)
+    n = A.shape[0]
+    assert (agg[:n] >= 0).all() and agg[:n].max() == n_agg - 1
+    assert (agg[n:] == -1).all()
+    # aggregates are connected-ish and not too large/small on average
+    assert n / 12 <= n_agg <= n / 3
+
+
+def test_tentative_prolongator_reproduces_candidates():
+    """P_tent @ Bc == B exactly (the defining SA identity)."""
+    import jax.numpy as jnp
+    from raptor_tpu.ops import spmv
+
+    A, B, _ = elasticity_3d(3)
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=24)
+    C = nodal_condense(E, 3)
+    sm = sa_strength_mask(C, 0.16)
+    agg, n_agg = aggregate(C, sm, seed=0)
+    n = A.shape[0]
+    Bd = jnp.zeros((E.n_rows_pad, 6), jnp.float64).at[:n].set(jnp.asarray(B))
+    P, Bc, ncoarse = tentative_prolongator(agg, n_agg, Bd, 3, n)
+    for j in range(6):
+        bj = np.zeros(P.n_cols_pad)
+        bj[:ncoarse] = np.asarray(Bc)[:, j]
+        got = np.asarray(spmv(P, jnp.asarray(bj)))
+        assert np.allclose(got[:n], B[:, j], atol=1e-8), f"candidate {j}"
+
+
+def test_config4_elasticity_sa():
+    """Acceptance config 4 (BASELINE.json:10): 3D linear elasticity 27-pt
+    3x3 blocks, smoothed aggregation, Chebyshev (CI size 6^3 nodes)."""
+    A, B, _ = elasticity_3d(6)
+    b = default_rhs(A.shape[0])
+    hier = build_sa_hierarchy(A, AmgConfig(**{**SA_CFG.__dict__,
+                                              "num_candidates": 6}),
+                              dtype=np.float64, B=B)
+    x, info = solve(A, b, SA_CFG, SolveConfig(dtype="float64", maxiter=100),
+                    hier=hier)
+    assert info["relres"] <= 1e-8
+    assert info["iterations"] <= 40, info["iterations"]
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_sa_poisson():
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="chebyshev", num_candidates=1)
+    x, info = solve(A, b, cfg, SolveConfig(dtype="float64"))
+    assert info["relres"] <= 1e-8
+    assert info["iterations"] <= 15
