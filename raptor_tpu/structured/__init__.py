@@ -11,6 +11,7 @@ from raptor_tpu.structured.dia import (
 )
 from raptor_tpu.structured.solver import (
     SLevel,
+    plan_coarsening,
     SHierarchy,
     build_structured_hierarchy,
     structured_solve,
@@ -28,6 +29,7 @@ __all__ = [
     "dia_add",
     "dia_rap",
     "SLevel",
+    "plan_coarsening",
     "SHierarchy",
     "build_structured_hierarchy",
     "structured_solve",

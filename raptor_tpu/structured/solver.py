@@ -51,7 +51,7 @@ Vec = Tuple[int, ...]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "Pt", "Rt", "dinv", "cheb_lmax"],
+    data_fields=["A", "Pt", "Rt", "dinv", "red", "cheb_lmax"],
     meta_fields=["dims", "cdim"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +60,7 @@ class SLevel:
     Pt: Optional[DiaMatrix]  # embedded prolongation (this grid), None at coarsest
     Rt: Optional[DiaMatrix]
     dinv: jax.Array
+    red: jax.Array  # bool red-black mask (precomputed; avoids per-cycle iota)
     cheb_lmax: Optional[jax.Array]
     dims: Vec
     cdim: int  # dimension coarsened to reach the next level (-1 at coarsest)
@@ -210,34 +211,91 @@ def _choose_dim(A: DiaMatrix, policy: str) -> int:
     return int(np.argmax(s))
 
 
-def build_structured_hierarchy(
-    A: DiaMatrix,
-    config: AmgConfig = AmgConfig(smoother="mcgs"),
-    dim_policy: str = "operator",
+def plan_coarsening(
+    A: DiaMatrix, config: AmgConfig, dim_policy: str = "operator"
+) -> Tuple[int, ...]:
+    """Static coarsening plan (sequence of dims), so the whole setup can run
+    under ONE jit (BASELINE.json:5 "setup ... end-to-end under jit").
+
+    'size' policy is fully static; 'operator' syncs the initial per-dim
+    coupling strengths once, then evolves them with the standard
+    semicoarsening model (coarsening dim d scales its coupling by 1/4 —
+    h_d doubles)."""
+    dims = list(A.dims)
+    nd = len(dims)
+    if dim_policy == "operator":
+        # stencil second moments: s_d = -(1/2) Σ_o mean(a_o) o_d^2 recovers
+        # the continuum diffusion coefficient D_dd exactly for constant
+        # coefficients (one host sync of n_off scalars).
+        means = np.asarray(jnp.mean(A.data, axis=1))
+        s = []
+        for ax in range(nd):
+            s.append(float(-0.5 * sum(
+                means[k] * (o[ax] ** 2) for k, o in enumerate(A.offsets)
+            )))
+        s = [max(v, 0.0) for v in s]
+        if max(s) <= 0:
+            s = [float(d) for d in dims]
+    else:
+        s = [float(d) for d in dims]
+
+    plan = []
+    n = int(np.prod(dims))
+    while (
+        len(plan) + 1 < config.max_levels
+        and n > config.coarse_size
+        and max(dims) > 3
+    ):
+        cand = [s[ax] if dims[ax] > 3 else -1.0 for ax in range(nd)]
+        d = int(np.argmax(cand))
+        plan.append(d)
+        dims[d] = (dims[d] + 1) // 2
+        s[d] /= 4.0
+        n = int(np.prod(dims))
+    return tuple(plan)
+
+
+@partial(jax.jit, static_argnames=("config", "plan", "prune"))
+def _build_hierarchy_planned(
+    A: DiaMatrix, config: AmgConfig, plan: Tuple[int, ...], prune: bool = False
 ) -> SHierarchy:
-    """Semicoarsening hierarchy.  Fully static control flow — every level's
-    shapes/offsets derive from the grid dims, so the whole setup can be
-    jitted end-to-end (the level loop here runs at trace time)."""
+    """The whole setup as ONE jitted program: transfers, Galerkin RAP and
+    smoother data for every level (the plan fixes all shapes/offsets at
+    trace time).  ``prune`` enables numeric zero-diagonal dropping, which
+    needs host syncs — off under jit."""
     levels = []
-    while len(levels) + 1 < config.max_levels and A.n > config.coarse_size \
-            and max(A.dims) > 3:
-        d = _choose_dim(A, dim_policy)
+    for d in plan:
         Pt = _build_transfer(A, d)
         Rt = dia_transpose(Pt)
         Ae = dia_mult(Rt, dia_mult(A, Pt))
-        Ac = dia_prune(_compact_dia(Ae, d), tol=1e-12)
+        Ac = _compact_dia(Ae, d)
+        if prune:
+            Ac = dia_prune(Ac, tol=1e-12)
         dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
         lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
-        levels.append(SLevel(A=A, Pt=Pt, Rt=Rt, dinv=dinv, cheb_lmax=lmax,
+        levels.append(SLevel(A=A, Pt=Pt, Rt=Rt, dinv=dinv,
+                             red=_parity(A.dims) == 0, cheb_lmax=lmax,
                              dims=A.dims, cdim=d))
         A = Ac
 
     dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
     lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
-    levels.append(SLevel(A=A, Pt=None, Rt=None, dinv=dinv, cheb_lmax=lmax,
+    levels.append(SLevel(A=A, Pt=None, Rt=None, dinv=dinv,
+                         red=_parity(A.dims) == 0, cheb_lmax=lmax,
                          dims=A.dims, cdim=-1))
     chol = _dia_dense_cholesky(A)
     return SHierarchy(levels=tuple(levels), coarse_chol=chol, config=config)
+
+
+def build_structured_hierarchy(
+    A: DiaMatrix,
+    config: AmgConfig = AmgConfig(smoother="mcgs"),
+    dim_policy: str = "operator",
+) -> SHierarchy:
+    """Semicoarsening hierarchy: plan the (static) coarsening sequence, then
+    run the numeric setup as a single jitted program."""
+    plan = plan_coarsening(A, config, dim_policy)
+    return _build_hierarchy_planned(A, config, plan)
 
 
 @partial(jax.jit, static_argnames=())
@@ -269,12 +327,12 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
             x = x + cfg.omega * lev.dinv * (b - dia_spmv(lev.A, x))
         return x
     if cfg.smoother == "mcgs":  # exact red-black on the grid
-        parity = _parity(lev.dims)
-        order = (1, 0) if backward else (0, 1)
+        order = (False, True) if backward else (True, False)
         for _ in range(sweeps):
-            for c in order:
+            for red_turn in order:
                 r = b - dia_spmv(lev.A, x)
-                x = x + jnp.where(parity == c, lev.dinv * r, 0)
+                upd = lev.red if red_turn else ~lev.red
+                x = x + jnp.where(upd, lev.dinv * r, 0)
         return x
     if cfg.smoother == "chebyshev":
         lmax = lev.cheb_lmax

@@ -1,0 +1,72 @@
+"""Structured DIA engine end-to-end: the TPU fast path must match the
+algebraic oracle's convergence class on the acceptance problems."""
+
+import numpy as np
+import pytest
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.gallery import (
+    default_rhs,
+    diffusion_stencil_2d,
+    stencil_grid,
+)
+from raptor_tpu.structured import (
+    build_structured_hierarchy,
+    dia_from_stencil,
+    structured_solve,
+)
+from tests.unit.test_dia import stencil_7pt
+
+
+def run(st, dims, smoother="mcgs", policy="operator", maxiter=150, tol=1e-8):
+    A = dia_from_stencil(st, dims, dtype=np.float64)
+    cfg = AmgConfig(smoother=smoother, coarse_size=32, max_levels=40)
+    hier = build_structured_hierarchy(A, cfg, dim_policy=policy)
+    b = default_rhs(A.n, dtype=np.float64)
+    x, info = structured_solve(hier, b, tol=tol, maxiter=maxiter)
+    ref = stencil_grid(st, dims)
+    xn = np.asarray(x)
+    true_rel = np.linalg.norm(ref @ xn - b) / np.linalg.norm(b)
+    return int(info.iterations), float(info.relres), true_rel, hier
+
+
+ST5 = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], float)
+
+
+def test_poisson_2d_structured():
+    iters, rel, true_rel, hier = run(ST5, (64, 64))
+    assert rel <= 1e-8 and true_rel <= 1e-7
+    assert iters <= 10  # oracle classical AMG: 8
+    # operators stay compact: 9-point on all coarse levels
+    assert max(l.A.n_off for l in hier.levels) <= 9
+
+
+def test_poisson_3d_structured():
+    iters, rel, true_rel, hier = run(stencil_7pt(), (16, 16, 16))
+    assert rel <= 1e-8 and true_rel <= 1e-7
+    assert iters <= 14  # oracle PMIS AMG: 15
+    assert max(l.A.n_off for l in hier.levels) <= 27
+
+
+def test_anisotropic_structured():
+    """Rotated anisotropic diffusion (config 3 problem class): the operator
+    dim policy must pick the strong direction and converge."""
+    st = diffusion_stencil_2d(1e-3, 0.0)  # axis-aligned: clean semicoarsening
+    iters, rel, true_rel, _ = run(st, (64, 64), policy="operator")
+    assert rel <= 1e-8 and true_rel <= 1e-7
+    assert iters <= 12
+
+    st = diffusion_stencil_2d(1e-3, np.pi / 6)  # rotated: harder
+    iters, rel, true_rel, _ = run(st, (64, 64), policy="operator", maxiter=250)
+    assert rel <= 1e-8 and true_rel <= 1e-7
+
+
+def test_structured_nonsquare_dims():
+    iters, rel, true_rel, _ = run(ST5, (48, 24))
+    assert rel <= 1e-8 and true_rel <= 1e-7
+
+
+def test_structured_jacobi_and_cheb():
+    for sm in ("jacobi", "chebyshev"):
+        iters, rel, true_rel, _ = run(ST5, (32, 32), smoother=sm)
+        assert rel <= 1e-8 and true_rel <= 1e-7, sm
