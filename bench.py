@@ -100,23 +100,30 @@ def main():
 
     # ---- setup ----
     A = dia_from_stencil(st, dims, dtype=jnp.float32)
-    jax.block_until_ready(A.data)
+    _ = np.asarray(A.data[0, :8])
     t0 = time.perf_counter()
     hier = build_structured_hierarchy(A, cfg, dim_policy="size")
-    jax.block_until_ready(hier.levels[-1].A.data)
+    _ = np.asarray(hier.coarse_chol[:1, :1])
+    setup_cold_s = time.perf_counter() - t0
+    # warm setup: same shapes hit the jit cache — the honest compute time
+    t0 = time.perf_counter()
+    hier = build_structured_hierarchy(A, cfg, dim_policy="size")
+    _ = np.asarray(hier.coarse_chol[:1, :1])
     setup_s = time.perf_counter() - t0
-    log(f"setup: {setup_s:.3f}s, {len(hier.levels)} levels, "
+    log(f"setup: {setup_s:.3f}s warm ({setup_cold_s:.1f}s cold incl. "
+        f"compile), {len(hier.levels)} levels, "
         f"offsets={[lv.A.n_off for lv in hier.levels]}")
 
     # ---- V-cycle throughput ----
     b = jnp.asarray(default_rhs(n, dtype=np.float32))
     cyc = jax.jit(lambda h, r: scycle(h, r))
     x = cyc(hier, b)
-    jax.block_until_ready(x)
+    _ = np.asarray(x)  # full host sync (block_until_ready can no-op on
+    # tunneled backends; a host transfer cannot)
     t0 = time.perf_counter()
     for _ in range(args.cycles):
         x = cyc(hier, x)
-    jax.block_until_ready(x)
+    _ = np.asarray(x)
     vcycle_s = (time.perf_counter() - t0) / args.cycles
     dofs_per_s = n / vcycle_s
     log(f"V-cycle: {vcycle_s*1e3:.2f} ms -> {dofs_per_s/1e9:.3f} GDOF/s")
@@ -183,6 +190,7 @@ def main():
             "problem": f"3D Poisson {size}^3 AMG-PCG (structured DIA engine)",
             "vcycle_ms": vcycle_s * 1e3,
             "setup_s": setup_s,
+            "setup_cold_s": setup_cold_s,
             "solve_to_1e-8_s": solve_s,
             "pcg_iterations": iters_total,
             "final_relres": final_relres,

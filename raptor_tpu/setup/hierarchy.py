@@ -119,6 +119,11 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hi
         elif config.splitting == "pmis":
             perm = make_perm(n, A.n_rows_pad, config.seed + len(levels))
             cf = pmis_splitting(A, smask, perm)
+        elif config.splitting == "cljp":
+            from raptor_tpu.setup.cljp import cljp_splitting
+
+            perm = make_perm(n, A.n_rows_pad, config.seed + len(levels))
+            cf = cljp_splitting(A, smask, perm)
         else:
             raise ValueError(f"unknown splitting: {config.splitting}")
 

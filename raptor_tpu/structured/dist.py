@@ -1,0 +1,297 @@
+"""Distributed structured multigrid: plane-sharded DIA over the ICI mesh.
+
+Config 5 (BASELINE.json:11 "3D Poisson 256^3 sharded: distributed
+hierarchy, ppermute halo exchange, weak-scaling setup") on the structured
+fast path: shard the slowest grid dimension (contiguous plane blocks), so
+
+* every level operator's cross-shard reach is exactly one plane (offsets
+  along dim0 are in {-1,0,1}), so a SpMV needs ONE ppermute halo round in
+  each direction — boundary planes ride the ICI torus while the interior
+  rolls locally (the TAPS-analogue locality structure of SURVEY.md §2b C8),
+* dim0 linear offsets are identical locally and globally (dim0 is slowest),
+  so the local shard IS a DiaMatrix on the local grid box,
+* coarsening dim0 stays perfectly balanced while the per-shard plane count
+  is even; the plan then switches to the other dims, and the small tail is
+  agglomerated (replicated) exactly like the algebraic path.
+
+The setup currently runs as the single jitted global program (one chip
+holds every level; 256^3 in fp32 is ~2 GB/level) and the fine levels are
+then sharded for the solve; pushing the same program under shard_map (the
+Galerkin products need a two-plane halo for their +-2 intermediates) is the
+designated next step for weak-scaling setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.structured.dia import DiaMatrix, _linear
+from raptor_tpu.structured.solver import (
+    SHierarchy,
+    SLevel,
+    _coarse_dims,
+    _compact,
+    _expand,
+    _parity,
+    _slevel,
+    plan_coarsening,
+    _build_hierarchy_planned,
+)
+
+__all__ = ["SDistHierarchy", "distribute_structured", "sdist_solve",
+           "plan_coarsening_dist"]
+
+AXIS = "x"
+Vec = Tuple[int, ...]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "Pt", "Rt", "dinv", "red"],
+    meta_fields=["dims_local", "cdim"],
+)
+@dataclasses.dataclass(frozen=True)
+class SDistLevel:
+    """Arrays are global (noff, n) / (n,), sharded over the lane axis; meta
+    describes the per-shard box.  dim0 linear offsets coincide locally and
+    globally, so the shard viewed with dims_local is a valid DiaMatrix."""
+
+    A: DiaMatrix  # dims = GLOBAL dims; data sharded
+    Pt: Optional[DiaMatrix]
+    Rt: Optional[DiaMatrix]
+    dinv: jax.Array
+    red: jax.Array
+    dims_local: Vec
+    cdim: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "tail"],
+    meta_fields=["config", "ndev"],
+)
+@dataclasses.dataclass(frozen=True)
+class SDistHierarchy:
+    levels: Tuple[SDistLevel, ...]
+    tail: SHierarchy  # replicated agglomerated coarse hierarchy
+    config: AmgConfig
+    ndev: int
+
+
+def plan_coarsening_dist(
+    A: DiaMatrix, config: AmgConfig, ndev: int, dim_policy: str = "operator",
+    tail_size: int = 4096,
+) -> tuple[Tuple[int, ...], int]:
+    """(plan, n_sharded_levels): like plan_coarsening, but while a level is
+    sharded dim0 is only coarsened if the per-shard plane count stays even
+    (balanced shards, parity-aligned compaction); sharding stops
+    (agglomeration onto replicas) once the grid drops below tail_size."""
+    full = plan_coarsening(A, config, dim_policy)
+    dims = list(A.dims)
+    plan = []
+    t = 0
+    counting = True
+    for d in full:
+        bad0 = (dims[0] // ndev) % 2 != 0 or (dims[0] // 2) // ndev < 2
+        if counting and d == 0 and bad0:
+            # coarsening dim0 would unbalance or de-shard the next level:
+            # replan this step onto the largest other dim if possible
+            alts = [ax for ax in range(1, len(dims)) if dims[ax] > 3]
+            if not alts:
+                counting = False
+            else:
+                d = max(alts, key=lambda ax: dims[ax])
+        plan.append(d)
+        dims[d] = (dims[d] + 1) // 2
+        if counting and int(np.prod(dims)) > tail_size \
+                and dims[0] % ndev == 0 and (dims[0] // ndev) >= 2:
+            t += 1
+        else:
+            counting = False
+    return tuple(plan), max(t, 1)
+
+
+def distribute_structured(
+    A: DiaMatrix, config: AmgConfig, ndev: int,
+    dim_policy: str = "operator", tail_size: int = 4096,
+) -> SDistHierarchy:
+    """Build (single jitted setup) then shard the fine levels over ndev."""
+    assert A.dims[0] % ndev == 0, "dim0 must divide the device count"
+    plan, t = plan_coarsening_dist(A, config, ndev, dim_policy, tail_size)
+    assert 1 <= t < len(plan) + 1
+    hier = _build_hierarchy_planned(A, config, plan)
+
+    dlevels = []
+    for k in range(t):
+        lev = hier.levels[k]
+        d0l = lev.dims[0] // ndev
+        dims_local = (d0l,) + lev.dims[1:]
+        dlevels.append(
+            SDistLevel(
+                A=lev.A, Pt=lev.Pt, Rt=lev.Rt, dinv=lev.dinv,
+                red=lev.red, dims_local=dims_local, cdim=lev.cdim,
+            )
+        )
+    tail = SHierarchy(
+        levels=hier.levels[t:], coarse_chol=hier.coarse_chol,
+        config=config,
+    )
+    return SDistHierarchy(levels=tuple(dlevels), tail=tail,
+                          config=config, ndev=ndev)
+
+
+# ---------------------------------------------------------------------------
+# sharded kernels (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _local_dia(A: DiaMatrix, dims_local: Vec) -> DiaMatrix:
+    """View the shard as a DiaMatrix on the local box (same linear offsets)."""
+    return DiaMatrix(data=A.data, offsets=A.offsets, dims=dims_local)
+
+
+def _halo_spmv(A: DiaMatrix, dims_local: Vec, x_own: jax.Array) -> jax.Array:
+    """SpMV with one ppermute halo round per direction.
+
+    Halo widths are the exact extremal linear offsets (a mixed offset like
+    (+1,+1,0) reaches one plane *plus* one line beyond the shard, so widths
+    can exceed one plane but never two — the plan keeps >=2 local planes).
+    Wrap reads at the global boundary are annihilated by the
+    boundary-zeroed diagonals.
+    """
+    ndev = jax.lax.axis_size(AXIS)
+    nl = x_own.shape[0]
+    lins = [_linear(o, dims_local) for o in A.offsets]
+    LP = max(0, -min(lins))  # static
+    RP = max(0, max(lins))
+    parts = []
+    if LP:
+        parts.append(jax.lax.ppermute(  # my tail -> right neighbor's left halo
+            x_own[-LP:], AXIS, [(i, (i + 1) % ndev) for i in range(ndev)]
+        ))
+    parts.append(x_own)
+    if RP:
+        parts.append(jax.lax.ppermute(  # my head -> left neighbor's right halo
+            x_own[:RP], AXIS, [(i, (i - 1) % ndev) for i in range(ndev)]
+        ))
+    x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_own
+    y = None
+    for k, lin in enumerate(lins):
+        term = A.data[k] * jax.lax.dynamic_slice(x_ext, (LP + lin,), (nl,))
+        y = term if y is None else y + term
+    return y
+
+
+def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
+    sweeps = cfg.nu2 if backward else cfg.nu1
+    if sweeps == 0:
+        return x
+    spmv = lambda v: _halo_spmv(lev.A, lev.dims_local, v)
+    if cfg.smoother == "jacobi":
+        for _ in range(sweeps):
+            x = x + cfg.omega * lev.dinv * (b - spmv(x))
+        return x
+    if cfg.smoother == "mcgs":
+        order = (False, True) if backward else (True, False)
+        for _ in range(sweeps):
+            for red_turn in order:
+                r = b - spmv(x)
+                upd = lev.red if red_turn else ~lev.red
+                x = x + jnp.where(upd, lev.dinv * r, 0)
+        return x
+    raise ValueError(f"distributed structured smoother: {cfg.smoother}")
+
+
+def _sdist_level(dh: SDistHierarchy, k: int, b):
+    cfg = dh.config
+    lev = dh.levels[k]
+    x = _sdist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+    r = b - _halo_spmv(lev.A, lev.dims_local, x)
+    rr = _halo_spmv(lev.Rt, lev.dims_local, r)
+    if k + 1 < len(dh.levels):
+        rc = _compact(rr, lev.dims_local, lev.cdim)
+        ec = _sdist_level(dh, k + 1, rc)
+        e = _expand(ec, lev.dims_local, lev.cdim)
+    else:
+        # agglomerate: gather the (small) coarse residual, run the
+        # replicated tail cycle, slice our plane block back
+        rc_loc = _compact(rr, lev.dims_local, lev.cdim)
+        rc = jax.lax.all_gather(rc_loc, AXIS, tiled=True)
+        ec = _slevel(dh.tail, cfg, 0, rc)
+        nl_c = rc_loc.shape[0]
+        me = jax.lax.axis_index(AXIS)
+        ec_loc = jax.lax.dynamic_slice(ec, (me * nl_c,), (nl_c,))
+        e = _expand(ec_loc, lev.dims_local, lev.cdim)
+    x = x + _halo_spmv(lev.Pt, lev.dims_local, e)
+    x = _sdist_smooth(lev, cfg, b, x, backward=True)
+    return x
+
+
+def sdist_cycle(dh: SDistHierarchy, b):
+    return _sdist_level(dh, 0, b)
+
+
+def _hier_spec(dh: SDistHierarchy) -> SDistHierarchy:
+    sharded_dia = lambda m: None if m is None else DiaMatrix(
+        data=P(None, AXIS), offsets=m.offsets, dims=m.dims
+    )
+    levels = tuple(
+        SDistLevel(
+            A=sharded_dia(lv.A), Pt=sharded_dia(lv.Pt), Rt=sharded_dia(lv.Rt),
+            dinv=P(AXIS), red=P(AXIS),
+            dims_local=lv.dims_local, cdim=lv.cdim,
+        )
+        for lv in dh.levels
+    )
+    tail = jax.tree_util.tree_map(lambda _: P(), dh.tail)
+    return SDistHierarchy(levels=levels, tail=tail, config=dh.config,
+                          ndev=dh.ndev)
+
+
+def sdist_solve(
+    dh: SDistHierarchy,
+    b,
+    mesh: Mesh,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    krylov: str = "cg",
+):
+    """Jitted distributed structured AMG-PCG solve over the mesh."""
+    b = jax.device_put(jnp.asarray(b), NamedSharding(mesh, P(AXIS)))
+
+    @partial(jax.jit, static_argnames=("krylov", "maxiter"))
+    def run(dh, b, tol, krylov, maxiter):
+        def body(dh, b):
+            lev0 = dh.levels[0]
+
+            def apply_A(x):
+                return _halo_spmv(lev0.A, lev0.dims_local, x)
+
+            def apply_M(r):
+                return sdist_cycle(dh, r)
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.vdot(a, c), AXIS)
+
+            solver = pcg if krylov == "cg" else bicgstab
+            return solver(apply_A, b, apply_M, tol=tol, maxiter=maxiter,
+                          dot_fn=dot)
+
+        from raptor_tpu.solve.krylov import KrylovInfo
+
+        info_spec = KrylovInfo(iterations=P(), status=P(), relres=P(),
+                               res_hist=P())
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(_hier_spec(dh), P(AXIS)),
+            out_specs=(P(AXIS), info_spec),
+        )(dh, b)
+
+    return run(dh, b, tol, krylov, maxiter)

@@ -1,0 +1,82 @@
+"""Plane-sharded structured multigrid on 8 virtual CPU devices: results must
+match the single-device structured path to fp tolerance (config 5 class)."""
+
+import jax
+import numpy as np
+import pytest
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.gallery import default_rhs, stencil_grid
+from raptor_tpu.structured import (
+    build_structured_hierarchy,
+    dia_from_stencil,
+    structured_solve,
+)
+from raptor_tpu.structured.dist import (
+    distribute_structured,
+    plan_coarsening_dist,
+    sdist_solve,
+)
+from tests.unit.test_dia import stencil_7pt
+
+NDEV = 8
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < NDEV, reason="needs 8 (virtual) devices"
+)
+
+
+def mesh():
+    return jax.make_mesh((NDEV,), ("x",), devices=jax.devices()[:NDEV])
+
+
+def test_sdist_matches_single_device():
+    st = stencil_7pt()
+    dims = (16, 16, 16)
+    A = dia_from_stencil(st, dims, dtype=np.float64)
+    cfg = AmgConfig(smoother="mcgs", coarse_size=32, max_levels=30)
+    b = default_rhs(A.n, dtype=np.float64)
+
+    # single-device reference built with the SAME (dist-constrained) plan
+    from raptor_tpu.structured.solver import _build_hierarchy_planned
+
+    plan, _ = plan_coarsening_dist(A, cfg, NDEV, "size", tail_size=256)
+    hier = _build_hierarchy_planned(A, cfg, plan)
+    x_ref, info_ref = structured_solve(hier, b, tol=1e-8, maxiter=100)
+
+    dh = distribute_structured(A, cfg, NDEV, dim_policy="size", tail_size=256)
+    assert len(dh.levels) >= 2
+    x, info = sdist_solve(dh, b, mesh(), tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    ref = stencil_grid(st, dims)
+    xn = np.asarray(x)
+    assert np.linalg.norm(ref @ xn - b) / np.linalg.norm(b) <= 1e-7
+    # same plan => identical iteration behavior up to fp reduction order
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_sdist_plan_keeps_shards_balanced():
+    st = stencil_7pt()
+    A = dia_from_stencil(st, (32, 16, 16), dtype=np.float64)
+    cfg = AmgConfig(smoother="mcgs", coarse_size=32, max_levels=30)
+    plan, t = plan_coarsening_dist(A, cfg, NDEV, "size", tail_size=256)
+    dims = [32, 16, 16]
+    for k, d in enumerate(plan):
+        if k < t and d == 0:
+            assert (dims[0] // NDEV) % 2 == 0
+        dims[d] = (dims[d] + 1) // 2
+    assert t >= 1
+
+
+def test_sdist_2d():
+    st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], float)
+    A = dia_from_stencil(st, (32, 64), dtype=np.float64)
+    cfg = AmgConfig(smoother="jacobi", coarse_size=32, max_levels=30)
+    b = default_rhs(A.n, dtype=np.float64)
+    dh = distribute_structured(A, cfg, NDEV, dim_policy="size", tail_size=256)
+    x, info = sdist_solve(dh, b, mesh(), tol=1e-8, maxiter=150)
+    ref = stencil_grid(st, (32, 64))
+    xn = np.asarray(x)
+    assert float(info.relres) <= 1e-8
+    assert np.linalg.norm(ref @ xn - b) / np.linalg.norm(b) <= 1e-7
