@@ -116,15 +116,21 @@ def main():
 
     # ---- V-cycle throughput ----
     b = jnp.asarray(default_rhs(n, dtype=np.float32))
-    cyc = jax.jit(lambda h, r: scycle(h, r))
-    x = cyc(hier, b)
-    _ = np.asarray(x)  # full host sync (block_until_ready can no-op on
-    # tunneled backends; a host transfer cannot)
+    N = args.cycles
+
+    @jax.jit
+    def run_cycles(h, r):  # N cycles inside one program: pure device time
+        return jax.lax.fori_loop(0, N, lambda i, v: scycle(h, v), r)
+
+    ssum = jax.jit(lambda v: jnp.sum(v))
+    x = run_cycles(hier, b)
+    _ = float(ssum(x))  # 4-byte sync (large downloads pollute the timing)
     t0 = time.perf_counter()
-    for _ in range(args.cycles):
-        x = cyc(hier, x)
-    _ = np.asarray(x)
-    vcycle_s = (time.perf_counter() - t0) / args.cycles
+    reps = 3
+    for _ in range(reps):
+        x = run_cycles(hier, x)
+    _ = float(ssum(x))
+    vcycle_s = (time.perf_counter() - t0) / reps / N
     dofs_per_s = n / vcycle_s
     log(f"V-cycle: {vcycle_s*1e3:.2f} ms -> {dofs_per_s/1e9:.3f} GDOF/s")
 
@@ -135,23 +141,30 @@ def main():
     A_sp = stencil_grid(st, dims)
     b64 = np.asarray(b, dtype=np.float64)
     bnorm = np.linalg.norm(b64)
-    x64 = np.zeros(n)
+
+    def refined_solve():
+        x64 = np.zeros(n)
+        iters = 0
+        for _ in range(4):
+            r = b64 - A_sp @ x64
+            relres = np.linalg.norm(r) / bnorm
+            if relres < args.tol:
+                break
+            inner_tol = max(args.tol / relres, 2e-5)
+            e, info = structured_solve(
+                hier, jnp.asarray(r, jnp.float32), tol=float(inner_tol),
+                maxiter=100,
+            )
+            iters += int(info.iterations)
+            x64 = x64 + np.asarray(e, dtype=np.float64)
+        return x64, iters
+
+    refined_solve()  # warm (compile)
     t0 = time.perf_counter()
-    iters_total = 0
-    for _ in range(4):
-        r = b64 - A_sp @ x64
-        relres = np.linalg.norm(r) / bnorm
-        if relres < args.tol:
-            break
-        inner_tol = max(args.tol / relres, 2e-5)
-        e, info = structured_solve(
-            hier, jnp.asarray(r, jnp.float32), tol=float(inner_tol), maxiter=100
-        )
-        iters_total += int(info.iterations)
-        x64 = x64 + np.asarray(e, dtype=np.float64)
+    x64, iters_total = refined_solve()
+    solve_s = time.perf_counter() - t0
     r = b64 - A_sp @ x64
     final_relres = float(np.linalg.norm(r) / bnorm)
-    solve_s = time.perf_counter() - t0
     log(f"solve: {solve_s:.3f}s, {iters_total} PCG iterations, "
         f"true relres {final_relres:.2e}")
 
