@@ -1,0 +1,190 @@
+"""Command-line interface (SURVEY.md §2b C20): the five acceptance configs
+as named presets plus ad-hoc solves.
+
+  python -m raptor_tpu bench --preset config2
+  python -m raptor_tpu solve --problem poisson3d --n 32 --method structured
+  python -m raptor_tpu info
+
+Bench output is JSON-lines (one object per run) with the BASELINE.json:2
+metric fields: V-cycle DOF/s, setup seconds, solve-to-tol seconds,
+iteration count (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _problem(name: str, n: int):
+    from raptor_tpu import gallery
+
+    if name == "poisson2d":
+        return gallery.poisson_2d(n), None, (n, n)
+    if name == "poisson3d":
+        return gallery.poisson_3d(n), None, (n, n, n)
+    if name == "anisotropic":
+        return gallery.anisotropic_2d(n, epsilon=1e-3, theta=np.pi / 6), None, (n, n)
+    if name == "elasticity":
+        A, B, _ = gallery.elasticity_3d(n)
+        return A, B, None
+    raise SystemExit(f"unknown problem: {name}")
+
+
+PRESET_PROBLEMS = {
+    # BASELINE.json:7-11
+    "config1": ("poisson2d", 64, dict(splitting="rs", smoother="jacobi")),
+    "config2": ("poisson3d", 32, dict(splitting="pmis", smoother="mcgs")),
+    "config3": ("anisotropic", 64, dict(splitting="pmis", theta=0.35,
+                                        smoother="jacobi")),
+    "config4": ("elasticity", 8, dict(splitting="aggregation",
+                                      interp="smoothed", smoother="chebyshev",
+                                      num_candidates=6, theta=0.16)),
+    "config5": ("poisson3d", 256, dict(splitting="pmis", smoother="mcgs")),
+}
+
+
+def cmd_solve(args):
+    import jax.numpy as jnp
+
+    from raptor_tpu import AmgConfig, SolveConfig, solve
+    from raptor_tpu.gallery import default_rhs
+
+    A, B, dims = _problem(args.problem, args.n)
+    b = default_rhs(A.shape[0])
+    if args.method == "structured":
+        if dims is None:
+            raise SystemExit("structured method needs a grid problem")
+        from raptor_tpu.structured import (
+            build_structured_hierarchy,
+            dia_from_scipy,
+            structured_solve,
+        )
+
+        D = dia_from_scipy(A, dims, dtype=jnp.float64 if args.fp64 else jnp.float32)
+        cfg = AmgConfig(smoother=args.smoother or "mcgs")
+        hier = build_structured_hierarchy(D, cfg)
+        t0 = time.perf_counter()
+        x, info = structured_solve(hier, jnp.asarray(
+            b, D.dtype), tol=args.tol, maxiter=args.maxiter)
+        out = {
+            "iterations": int(info.iterations),
+            "relres": float(info.relres),
+            "seconds": time.perf_counter() - t0,
+            "true_relres": float(
+                np.linalg.norm(A @ np.asarray(x, np.float64) - b)
+                / np.linalg.norm(b)
+            ),
+        }
+    else:
+        cfg = AmgConfig(splitting=args.splitting,
+                        smoother=args.smoother or "jacobi")
+        sc = SolveConfig(dtype="float64" if args.fp64 else "float32",
+                         tol=args.tol, maxiter=args.maxiter,
+                         refine=not args.fp64)
+        t0 = time.perf_counter()
+        x, info = solve(A, b, cfg, sc)
+        out = {
+            "iterations": info["iterations"],
+            "relres": info["relres"],
+            "seconds": time.perf_counter() - t0,
+            "stats": info["stats"],
+        }
+    print(json.dumps(out))
+
+
+def cmd_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from raptor_tpu import AmgConfig, SolveConfig, solve, setup
+    from raptor_tpu.api import solve_hier
+    from raptor_tpu.core import pad_vector
+    from raptor_tpu.gallery import default_rhs
+
+    name, n, cfg_kw = PRESET_PROBLEMS[args.preset]
+    n = args.n or n
+    A, B, dims = _problem(name, n)
+    b = default_rhs(A.shape[0])
+    cfg = AmgConfig(**cfg_kw)
+
+    t0 = time.perf_counter()
+    if B is not None:
+        from raptor_tpu.setup.aggregation import build_sa_hierarchy
+
+        hier = build_sa_hierarchy(A, cfg, dtype=jnp.float32, B=B)
+    else:
+        hier = setup(A, cfg, dtype=jnp.float32)
+    jax.block_until_ready(hier.levels[-1].A.data)
+    setup_s = time.perf_counter() - t0
+
+    bd = pad_vector(b.astype(np.float32), hier.levels[0].A.n_rows_pad)
+    solve_hier(hier, bd, tol=1e-6, maxiter=args.maxiter)  # warm
+    t0 = time.perf_counter()
+    x, info = solve_hier(hier, bd, tol=1e-6, maxiter=args.maxiter)
+    relres = float(info.relres)
+    solve_s = time.perf_counter() - t0
+    from raptor_tpu.setup.hierarchy import hierarchy_stats
+
+    print(json.dumps({
+        "preset": args.preset,
+        "problem": f"{name} n={n}",
+        "setup_s": setup_s,
+        "solve_s": solve_s,
+        "iterations": int(info.iterations),
+        "relres": relres,
+        "stats": hierarchy_stats(hier),
+    }))
+
+
+def cmd_info(args):
+    import jax
+
+    import raptor_tpu
+
+    print(json.dumps({
+        "version": raptor_tpu.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "backend": jax.default_backend(),
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="raptor_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("solve", help="solve a gallery problem")
+    s.add_argument("--problem", default="poisson3d",
+                   choices=["poisson2d", "poisson3d", "anisotropic",
+                            "elasticity"])
+    s.add_argument("--n", type=int, default=32)
+    s.add_argument("--method", default="algebraic",
+                   choices=["algebraic", "structured"])
+    s.add_argument("--splitting", default="pmis",
+                   choices=["rs", "pmis", "cljp", "aggregation"])
+    s.add_argument("--smoother", default=None)
+    s.add_argument("--tol", type=float, default=1e-8)
+    s.add_argument("--maxiter", type=int, default=200)
+    s.add_argument("--fp64", action="store_true")
+    s.set_defaults(fn=cmd_solve)
+
+    bench = sub.add_parser("bench", help="run an acceptance-config preset")
+    bench.add_argument("--preset", default="config2",
+                       choices=sorted(PRESET_PROBLEMS))
+    bench.add_argument("--n", type=int, default=0)
+    bench.add_argument("--maxiter", type=int, default=200)
+    bench.set_defaults(fn=cmd_bench)
+
+    info = sub.add_parser("info", help="device/version info")
+    info.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
