@@ -7,7 +7,7 @@ from raptor_tpu.setup.splitting import (
     F_PT,
     UNDECIDED,
 )
-from raptor_tpu.setup.interp import direct_interpolation, tighten_coarse_space
+from raptor_tpu.setup.interp import direct_interpolation, classical_interpolation, tighten_coarse_space
 from raptor_tpu.setup.hierarchy import (
     Level,
     Hierarchy,
@@ -25,6 +25,7 @@ __all__ = [
     "F_PT",
     "UNDECIDED",
     "direct_interpolation",
+    "classical_interpolation",
     "tighten_coarse_space",
     "Level",
     "Hierarchy",

@@ -27,6 +27,7 @@ from raptor_tpu.core.ell import EllMatrix, ell_from_csr
 from raptor_tpu.ops.sparse_ops import ell_transpose, spgemm
 from raptor_tpu.setup.interp import (
     add_identity_padding,
+    classical_interpolation,
     direct_interpolation,
     tighten_coarse_space,
 )
@@ -127,7 +128,10 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hi
         else:
             raise ValueError(f"unknown splitting: {config.splitting}")
 
-        P_wide, nc_arr = direct_interpolation(A, smask, cf)
+        if config.interp == "classical":
+            P_wide, nc_arr = classical_interpolation(A, smask, cf)
+        else:
+            P_wide, nc_arr = direct_interpolation(A, smask, cf)
         nc = int(nc_arr)
         if nc == 0 or nc >= n:
             break

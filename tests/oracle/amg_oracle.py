@@ -166,6 +166,54 @@ def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray):
     return sp.coo_matrix((vals, (rows, cols)), shape=(n, nc)).tocsr()
 
 
+def classical_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray):
+    """Modified classical (Ruge-Stüben) interpolation: strong F-F
+    connections are distributed through the common strong-C set,
+
+      w_ij = -( a_ij + Σ_{k∈Fs_i} a_ik a_kj / Σ_{m∈Cs_i} a_km ) / ã_ii
+
+    with weak couplings collapsed into the diagonal ã_ii, and F-F neighbors
+    without common C handled by diagonal collapse as well."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    cmap = np.cumsum(cf == C_PT) - 1
+    nc = int((cf == C_PT).sum())
+    Sset = [set(S.indices[S.indptr[i]: S.indptr[i + 1]]) for i in range(n)]
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        if cf[i] == C_PT:
+            rows.append(i); cols.append(cmap[i]); vals.append(1.0)
+            continue
+        s = slice(A.indptr[i], A.indptr[i + 1])
+        idx, av = A.indices[s], A.data[s]
+        Ci = {j for j in idx if j in Sset[i] and cf[j] == C_PT}
+        if not Ci:
+            continue  # isolated F: zero row
+        dii = 0.0
+        w = {j: 0.0 for j in Ci}
+        for j, a in zip(idx, av):
+            if j == i:
+                dii += a
+            elif j in Ci:
+                w[j] += a
+            elif j in Sset[i] and cf[j] == F_PT:
+                # distribute a_ij over the common C set, weighted by a_jk
+                sk = slice(A.indptr[j], A.indptr[j + 1])
+                jdx, jav = A.indices[sk], A.data[sk]
+                common = [(k, ak) for k, ak in zip(jdx, jav) if k in Ci]
+                den = sum(ak for _, ak in common)
+                if common and den != 0.0:
+                    for k, ak in common:
+                        w[k] += a * ak / den
+                else:
+                    dii += a  # no common C: collapse to diagonal
+            else:
+                dii += a  # weak connection: collapse to diagonal
+        for j in Ci:
+            rows.append(i); cols.append(cmap[j]); vals.append(-w[j] / dii)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, nc)).tocsr()
+
+
 class Level:
     def __init__(self, A, P=None, R=None):
         self.A, self.P, self.R = sp.csr_matrix(A), P, R

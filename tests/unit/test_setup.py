@@ -121,3 +121,38 @@ def test_smoother_convergence_factor():
     rq = lambda v: (v @ (A @ v)) / (v @ v)
     assert np.linalg.norm(x1) < np.linalg.norm(x0)
     assert rq(x1) < 0.5 * rq(x0)
+
+
+def test_classical_interp_matches_oracle():
+    from raptor_tpu.setup import classical_interpolation
+
+    for gen, theta in [(lambda: poisson_2d(12), 0.25),
+                       (lambda: anisotropic_2d(9, epsilon=1e-2, theta=0.6), 0.35)]:
+        A = gen()
+        n = A.shape[0]
+        E = ell_from_csr(A, dtype=np.float64)
+        sm = strength_mask(E, theta, "classical")
+        cf = pmis_splitting(E, sm, make_perm(n, E.n_rows_pad, 0))
+        P_wide, nc = classical_interpolation(E, sm, cf)
+        P = tighten_coarse_space(P_wide, int(nc))
+        S = oracle.classical_strength(A, theta)
+        cf_or = oracle.pmis_splitting(S, seed=0)
+        P_or = oracle.classical_interpolation(A, S, cf_or)
+        assert int(nc) == P_or.shape[1]
+        assert np.allclose(ell_to_csr(P).toarray(), P_or.toarray(), atol=1e-12)
+
+
+def test_classical_interp_converges_better():
+    """Modified classical interp should not be weaker than direct on 2D
+    Poisson with PMIS."""
+    from raptor_tpu import solve, AmgConfig, SolveConfig
+
+    A = poisson_2d(32)
+    from raptor_tpu.gallery import default_rhs
+    b = default_rhs(A.shape[0])
+    _, i_dir = solve(A, b, AmgConfig(splitting="pmis", interp="direct"),
+                     SolveConfig(dtype="float64"))
+    _, i_cla = solve(A, b, AmgConfig(splitting="pmis", interp="classical"),
+                     SolveConfig(dtype="float64"))
+    assert i_cla["relres"] <= 1e-8
+    assert i_cla["iterations"] <= i_dir["iterations"] + 1
