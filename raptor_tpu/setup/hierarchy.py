@@ -115,6 +115,26 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hi
     n = A.shape[0]
     while len(levels) + 1 < config.max_levels and n > config.coarse_size:
         smask = strength_mask(A, config.theta, config.strength)
+        if config.aggressive:
+            from raptor_tpu.setup.aggressive import (
+                aggressive_splitting,
+                multipass_interpolation,
+            )
+
+            cf = aggressive_splitting(A, smask, config.seed + len(levels))
+            P, nc = multipass_interpolation(A, smask, cf)
+            if nc == 0 or nc >= n:
+                break
+            R = ell_transpose(P)
+            AP = spgemm(A, P)
+            Ac = add_identity_padding(spgemm(R, AP), nc)
+            dinv, color, ncolors, lmax = _smoother_data(A, config, smask)
+            levels.append(
+                Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
+                      n=n, ncolors=ncolors)
+            )
+            A, n = Ac, nc
+            continue
         if config.splitting == "rs":
             cf = _rs_split_device(A, smask)
         elif config.splitting == "pmis":

@@ -108,3 +108,20 @@ def test_wcycle():
     assert info["relres"] <= 1e-8
     # W-cycle must not be weaker than V (regression fence: V=17, W=13)
     assert info["iterations"] <= info_v["iterations"]
+
+
+def test_config3_aggressive_coarsening():
+    """BASELINE.json:9 names aggressive coarsening explicitly: distance-2
+    PMIS + multipass interpolation; converges with a much leaner hierarchy."""
+    A = anisotropic_2d(32, epsilon=1e-3, theta=np.pi / 6)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b,
+        AmgConfig(splitting="pmis", theta=0.35, aggressive=True,
+                  smoother="jacobi"),
+        SolveConfig(dtype="float64", maxiter=300),
+    )
+    assert info["relres"] <= 1e-8
+    assert info["iterations"] <= 50
+    # the point of aggressive coarsening: very low operator complexity
+    assert info["stats"]["operator_complexity"] <= 1.4
