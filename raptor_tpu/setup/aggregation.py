@@ -308,11 +308,14 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         C = nodal_condense(A, bs) if bs > 1 else A
         smask = sa_strength_mask(C, config.theta) if bs > 1 else sa_strength_mask(A, config.theta)
         agg, n_agg = aggregate(C, smask, config.seed + len(levels))
-        if n_agg == 0 or n_agg * nc >= n:
+        # stop when coarsening stalls (tiny aggregates also go rank-deficient
+        # against nc candidates)
+        if n_agg == 0 or n_agg * nc >= 0.7 * n:
             break
         P_t, Bc, ncoarse = tentative_prolongator(agg, n_agg, Bd, bs, n, config.pad_multiple)
         # smooth: P = (I - omega D^{-1} A) P_t
-        dinv = 1.0 / A.diagonal()
+        dA = A.diagonal()
+        dinv = 1.0 / jnp.where(dA != 0, dA, 1.0)
         lmax = estimate_lmax(A, dinv)
         omega = config.sa_omega / float(lmax)
         DA_P = spgemm(A.scale_rows(dinv * omega), P_t)

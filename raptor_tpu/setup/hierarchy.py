@@ -84,7 +84,8 @@ def _dense_cholesky(A: EllMatrix) -> jax.Array:
 
 def _smoother_data(A: EllMatrix, cfg: AmgConfig, smask):
     """Per-level smoother precomputation (colors / Chebyshev eigenvalue)."""
-    dinv = 1.0 / A.diagonal()
+    d = A.diagonal()
+    dinv = 1.0 / jnp.where(d != 0, d, 1.0)
     color, ncolors, lmax = None, 1, None
     if cfg.smoother == "mcgs":
         # coloring on the (host) adjacency of A — setup-only transfer
@@ -96,7 +97,7 @@ def _smoother_data(A: EllMatrix, cfg: AmgConfig, smask):
         pad = np.zeros(A.n_rows_pad, dtype=np.int32)
         pad[: a.shape[0]] = col_np
         color = jnp.asarray(pad)
-    elif cfg.smoother == "chebyshev":
+    elif cfg.smoother in ("chebyshev", "cheb4"):
         lmax = estimate_lmax(A, dinv)
     return dinv, color, ncolors, lmax
 

@@ -192,15 +192,16 @@ def tighten_coarse_space(P: EllMatrix, nc: int, pad_multiple: int = 8) -> EllMat
 
 
 def add_identity_padding(A: EllMatrix, n: int) -> EllMatrix:
-    """Give rows >= n (coarse padding produced by RAP) a unit diagonal so the
-    padded operator stays SPD (n is static: the host knows the coarse size)."""
-    if A.n_rows_pad == n:
-        return A
+    """Give rows >= n (coarse padding produced by RAP) AND dead rows (zero
+    diagonal — e.g. coarse dofs of rank-deficient aggregates in smoothed
+    aggregation) a unit diagonal so the padded operator stays SPD
+    (n is static: the host knows the coarse size)."""
     K, npad = A.data.shape
     row = A.row_index()
     k0 = jax.lax.broadcasted_iota(jnp.int32, (K, npad), 0) == 0
-    padrow = row >= n
+    dead = A.diagonal() == 0
+    padrow = (row >= n) | dead[None, :]
     data = jnp.where(padrow & k0, 1.0, jnp.where(padrow, 0.0, A.data)).astype(A.dtype)
     cols = jnp.where(padrow & k0, row, jnp.where(padrow, 0, A.cols))
-    row_nnz = jnp.where(jnp.arange(npad) >= n, 1, A.row_nnz).astype(jnp.int32)
+    row_nnz = jnp.where((jnp.arange(npad) >= n) | dead, 1, A.row_nnz).astype(jnp.int32)
     return dataclasses.replace(A, data=data, cols=cols, row_nnz=row_nnz)

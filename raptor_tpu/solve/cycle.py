@@ -18,7 +18,7 @@ from typing import TYPE_CHECKING
 
 from raptor_tpu.config import AmgConfig
 from raptor_tpu.ops.sparse_ops import spmv
-from raptor_tpu.solve.smoothers import chebyshev, jacobi, multicolor_gs
+from raptor_tpu.solve.smoothers import chebyshev, chebyshev4, jacobi, multicolor_gs
 
 if TYPE_CHECKING:  # avoid a circular import (hierarchy imports smoothers)
     from raptor_tpu.setup.hierarchy import Hierarchy, Level
@@ -42,6 +42,9 @@ def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
         return chebyshev(
             lev.A, lev.dinv, b, x, lmax / 30.0, lmax, degree=cfg.cheb_degree
         )
+    if cfg.smoother == "cheb4":
+        return chebyshev4(lev.A, lev.dinv, b, x, lev.cheb_lmax,
+                          degree=cfg.cheb_degree)
     raise ValueError(f"unknown smoother: {cfg.smoother}")
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from raptor_tpu.core.ell import EllMatrix
 from raptor_tpu.ops.sparse_ops import spmv
 
-__all__ = ["jacobi", "multicolor_gs", "chebyshev", "estimate_lmax",
+__all__ = ["jacobi", "multicolor_gs", "chebyshev", "chebyshev4", "estimate_lmax",
            "greedy_coloring_host"]
 
 
@@ -89,8 +89,31 @@ def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3):
     return x
 
 
+@partial(jax.jit, static_argnames=("degree",))
+def chebyshev4(A: EllMatrix, dinv, b, x, lmax, degree: int = 3):
+    """Fourth-kind Chebyshev smoother (PAPERS.md:7, Lottes-style).
+
+    Needs only the upper eigenvalue estimate (no lower-bound interval
+    tuning), with provably better smoothing of the upper spectrum than the
+    classical first-kind interval choice:
+
+        d_1 = (4/3) / lmax * D^{-1} r
+        d_k = (2k-3)/(2k+1) d_{k-1} + (8k-4)/((2k+1) lmax) D^{-1} r_k
+    """
+    r = b - spmv(A, x)
+    d = (4.0 / 3.0) / lmax * (dinv * r)
+    x = x + d
+    for k in range(2, degree + 1):
+        r = r - spmv(A, d)
+        d = ((2 * k - 3) / (2 * k + 1)) * d + (
+            (8 * k - 4) / ((2 * k + 1)) / lmax
+        ) * (dinv * r)
+        x = x + d
+    return x
+
+
 @partial(jax.jit, static_argnames=("iters",))
-def estimate_lmax(A: EllMatrix, dinv, iters: int = 30, safety: float = 1.05):
+def estimate_lmax(A: EllMatrix, dinv, iters: int = 40, safety: float = 1.1):
     """Largest eigenvalue of D^{-1}A by power iteration (jitted, fixed trip
     count — runs at setup; BASELINE.json:10 Chebyshev needs the estimate)."""
     n = A.n_rows_pad

@@ -180,7 +180,7 @@ def _compact_dia(Ae: DiaMatrix, d: int) -> DiaMatrix:
     return DiaMatrix(data=jnp.stack(planes), offsets=tuple(offs), dims=cd)
 
 
-def _estimate_lmax_dia(A: DiaMatrix, dinv, iters: int = 25, safety=1.05):
+def _estimate_lmax_dia(A: DiaMatrix, dinv, iters: int = 40, safety=1.1):
     i = jnp.arange(A.n, dtype=A.dtype)
     v = jnp.sin(i * 0.7511) + 0.01
     v = v / jnp.linalg.norm(v)
@@ -272,14 +272,16 @@ def _build_hierarchy_planned(
         if prune:
             Ac = dia_prune(Ac, tol=1e-12)
         dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
-        lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
+        lmax = (_estimate_lmax_dia(A, dinv)
+                if config.smoother in ("chebyshev", "cheb4") else None)
         levels.append(SLevel(A=A, Pt=Pt, Rt=Rt, dinv=dinv,
                              red=_parity(A.dims) == 0, cheb_lmax=lmax,
                              dims=A.dims, cdim=d))
         A = Ac
 
     dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
-    lmax = _estimate_lmax_dia(A, dinv) if config.smoother == "chebyshev" else None
+    lmax = (_estimate_lmax_dia(A, dinv)
+                if config.smoother in ("chebyshev", "cheb4") else None)
     levels.append(SLevel(A=A, Pt=None, Rt=None, dinv=dinv,
                          red=_parity(A.dims) == 0, cheb_lmax=lmax,
                          dims=A.dims, cdim=-1))
@@ -333,6 +335,17 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
                 r = b - dia_spmv(lev.A, x)
                 upd = lev.red if red_turn else ~lev.red
                 x = x + jnp.where(upd, lev.dinv * r, 0)
+        return x
+    if cfg.smoother == "cheb4":
+        r = b - dia_spmv(lev.A, x)
+        d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
+        x = x + d
+        for k in range(2, cfg.cheb_degree + 1):
+            r = r - dia_spmv(lev.A, d)
+            d = ((2 * k - 3) / (2 * k + 1)) * d + (
+                (8 * k - 4) / (2 * k + 1) / lev.cheb_lmax
+            ) * (lev.dinv * r)
+            x = x + d
         return x
     if cfg.smoother == "chebyshev":
         lmax = lev.cheb_lmax
