@@ -39,6 +39,9 @@ class AmgConfig:
     sa_omega: float = 4.0 / 3.0
     # second coarsening pass / aggressive coarsening (config 3):
     aggressive: bool = False
+    # coarse-operator sparsification: drop |a_ij| < filter_tol * row max and
+    # lump into the diagonal (PAPERS.md:6); 0 disables
+    filter_tol: float = 0.0
     # row padding multiple; the distributed path builds with 8*ndev so every
     # level's padded size divides the device count (SURVEY.md §2b C19)
     pad_multiple: int = 8

@@ -7,6 +7,7 @@ from raptor_tpu.ops.sparse_ops import (
     spgemm_fixed,
     ell_add,
     ell_add_fixed,
+    ell_filter,
     rap,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "spgemm_fixed",
     "ell_add",
     "ell_add_fixed",
+    "ell_filter",
     "rap",
 ]

@@ -34,6 +34,7 @@ __all__ = [
     "spgemm",
     "spgemm_fixed",
     "ell_add",
+    "ell_filter",
     "rap",
 ]
 
@@ -273,3 +274,47 @@ def ell_add_fixed(
 
 def ell_add(A: EllMatrix, B: EllMatrix, alpha=1.0, beta=1.0) -> EllMatrix:
     return ell_add_fixed(A, B, k_out=A.K + B.K, alpha=alpha, beta=beta)
+
+
+# ---------------------------------------------------------------------------
+# Sparsification (PAPERS.md:6 — "Reducing Parallel Communication in AMG
+# through Sparsification"; also SURVEY.md §7 hard part 3: padding blowup)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k_out",))
+def ell_filter_fixed(A: EllMatrix, tol: float, k_out: int) -> EllMatrix:
+    """Drop off-diagonal entries with |a_ij| < tol * max_k |a_ik| and lump
+    them into the diagonal (preserves row sums, keeps the operator SPD-ish).
+    Shrinks ELL width and, in the distributed setting, halo traffic."""
+    row = A.row_index()
+    off = (A.cols != row) & A.slot_mask()
+    mag = jnp.where(off, jnp.abs(A.data), 0)
+    row_max = jnp.max(mag, axis=0)
+    drop = off & (mag < tol * row_max[None, :])
+    lump = jnp.sum(jnp.where(drop, A.data, 0), axis=0)
+
+    keep = A.slot_mask() & ~drop
+    sent = jnp.int32(A.n_cols_pad)
+    cols = jnp.where(keep, A.cols, sent)
+    is_diag = keep & (A.cols == row)
+    vals = jnp.where(keep, A.data + jnp.where(is_diag, lump[None, :], 0), 0)
+    cols, vals = jax.lax.sort((cols, vals), dimension=0, num_keys=1)
+    oc, ov, nnz = _merge_sorted_rows(cols, vals, sent, k_out)
+    oc = _fix_padding_cols(oc, nnz, A.n_cols_pad)
+    return EllMatrix(
+        data=ov, cols=oc, row_nnz=nnz, shape=A.shape,
+        n_rows_pad=A.n_rows_pad, n_cols_pad=A.n_cols_pad,
+    )
+
+
+def ell_filter(A: EllMatrix, tol: float) -> EllMatrix:
+    """Host wrapper: filter then compact to the measured max width."""
+    if tol <= 0:
+        return A
+    F = ell_filter_fixed(A, tol, A.K)
+    k = max(int(jnp.max(F.row_nnz)), 1)
+    if k == A.K:
+        return F
+    import dataclasses as _dc
+
+    return _dc.replace(F, data=F.data[:k], cols=F.cols[:k])

@@ -24,7 +24,7 @@ import numpy as np
 
 from raptor_tpu.config import AmgConfig
 from raptor_tpu.core.ell import EllMatrix, ell_from_csr
-from raptor_tpu.ops.sparse_ops import ell_transpose, spgemm
+from raptor_tpu.ops.sparse_ops import ell_filter, ell_transpose, spgemm
 from raptor_tpu.setup.interp import (
     add_identity_padding,
     classical_interpolation,
@@ -160,6 +160,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hi
         R = ell_transpose(P)
         AP = spgemm(A, P)
         Ac = add_identity_padding(spgemm(R, AP), nc)
+        if config.filter_tol > 0:
+            Ac = ell_filter(Ac, config.filter_tol)
 
         dinv, color, ncolors, lmax = _smoother_data(A, config, smask)
         levels.append(

@@ -90,3 +90,32 @@ def test_ell_add():
     C = ell_add(Ea, Eb, alpha=2.0, beta=-0.5)
     ref = (2.0 * A - 0.5 * B).toarray()
     assert np.allclose(ell_to_csr(C).toarray(), ref, atol=1e-12)
+
+
+def test_ell_filter():
+    from raptor_tpu.ops import ell_filter
+
+    a = anisotropic_2d(12, epsilon=1e-3, theta=0.4)
+    E = ell_from_csr(a, dtype=np.float64)
+    F = ell_filter(E, 0.05)
+    fa = ell_to_csr(F)
+    # row sums preserved (dropped entries lumped into the diagonal)
+    assert np.allclose(np.asarray(fa.sum(axis=1)), np.asarray(a.sum(axis=1)),
+                       atol=1e-12)
+    assert fa.nnz < a.nnz
+    # large entries untouched
+    d = abs(a - fa).toarray()
+    mx = np.abs(a.toarray()).max(axis=1)
+    assert (d.max(axis=1) <= 0.05 * mx * (1 + 1e-12) + 1e-15).all()
+
+
+def test_filtered_hierarchy_converges():
+    from raptor_tpu import solve, AmgConfig, SolveConfig
+    from raptor_tpu.gallery import default_rhs
+
+    A = anisotropic_2d(24, epsilon=1e-3, theta=0.5)
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, AmgConfig(splitting="pmis", theta=0.35,
+                                    filter_tol=0.02),
+                    SolveConfig(dtype="float64", maxiter=300))
+    assert info["relres"] <= 1e-8
