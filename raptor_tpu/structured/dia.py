@@ -180,14 +180,15 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
 
 
 def dia_transpose(A: DiaMatrix) -> DiaMatrix:
-    """A.T: diagonal at -o holds roll(data_o, lin(o))."""
-    planes = []
-    offs = []
+    """A.T: diagonal at -o holds roll(data_o, lin(o)).  Offsets re-sorted so
+    structurally-equal operators have identical (static) metadata."""
+    items = []
     for k, off in enumerate(A.offsets):
         lin = _linear(off, A.dims)
-        offs.append(tuple(-d for d in off))
-        planes.append(jnp.roll(A.data[k], lin))
-    return DiaMatrix(data=jnp.stack(planes), offsets=tuple(offs), dims=A.dims)
+        items.append((tuple(-d for d in off), jnp.roll(A.data[k], lin)))
+    items.sort(key=lambda t: t[0])
+    return DiaMatrix(data=jnp.stack([p for _, p in items]),
+                     offsets=tuple(o for o, _ in items), dims=A.dims)
 
 
 def dia_mult(A: DiaMatrix, B: DiaMatrix) -> DiaMatrix:
