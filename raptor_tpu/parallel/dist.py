@@ -169,7 +169,7 @@ def distribute_hierarchy(
         )
     bridge = hier.levels[t - 1]
     tail = Hierarchy(
-        levels=hier.levels[t:], coarse_chol=hier.coarse_chol,
+        levels=hier.levels[t:], coarse_inv=hier.coarse_inv,
         config=hier.config,
     )
     return DistHierarchy(

@@ -282,7 +282,7 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
     size divides by 3 (elasticity convention) else 1.
     """
     from raptor_tpu.core.ell import ell_from_csr
-    from raptor_tpu.setup.hierarchy import Hierarchy, Level, _dense_cholesky, _smoother_data
+    from raptor_tpu.setup.hierarchy import Hierarchy, Level, _dense_inverse, _smoother_data
 
     if B is None and isinstance(A, tuple) and len(A) in (2, 3):
         # allow gallery tuples (A, B[, coords])
@@ -340,5 +340,5 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         Level(A=A, dinv=dinv_s, P=None, R=None, color=color,
               cheb_lmax=lmax_s, n=n, ncolors=ncolors)
     )
-    chol = _dense_cholesky(A)
-    return Hierarchy(levels=tuple(levels), coarse_chol=chol, config=config)
+    inv = _dense_inverse(A)
+    return Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)

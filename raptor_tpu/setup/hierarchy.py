@@ -59,13 +59,13 @@ class Level:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_chol"],
+    data_fields=["levels", "coarse_inv"],
     meta_fields=["config"],
 )
 @dataclasses.dataclass(frozen=True)
 class Hierarchy:
     levels: Tuple[Level, ...]
-    coarse_chol: jax.Array  # dense Cholesky factor of the coarsest operator
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
     config: AmgConfig
 
     @property
@@ -74,12 +74,14 @@ class Hierarchy:
 
 
 @jax.jit
-def _dense_cholesky(A: EllMatrix) -> jax.Array:
-    """Dense Cholesky factor of the (identity-padded, SPD) coarsest operator."""
+def _dense_inverse(A: EllMatrix) -> jax.Array:
+    """Explicit dense inverse of the (identity-padded, SPD) coarsest
+    operator: the coarse solve is then one MXU matvec (triangular
+    back-substitution is sequential and latency-bound on TPU)."""
     n = A.n_rows_pad
     vals = jnp.where(A.slot_mask(), A.data, 0)
     dense = jnp.zeros((n, n), A.dtype).at[A.row_index(), A.cols].add(vals)
-    return jax.scipy.linalg.cholesky(dense, lower=True)
+    return jnp.linalg.inv(dense)
 
 
 def _smoother_data(A: EllMatrix, cfg: AmgConfig, smask):
@@ -175,8 +177,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hi
         Level(A=A, dinv=dinv, P=None, R=None, color=color, cheb_lmax=lmax,
               n=n, ncolors=ncolors)
     )
-    chol = _dense_cholesky(A)
-    return Hierarchy(levels=tuple(levels), coarse_chol=chol, config=config)
+    inv = _dense_inverse(A)
+    return Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
 
 
 def _rs_split_device(A: EllMatrix, smask) -> jax.Array:

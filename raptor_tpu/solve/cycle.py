@@ -49,9 +49,7 @@ def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
 
 
 def _coarse_solve(hier: Hierarchy, b):
-    L = hier.coarse_chol
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return hier.coarse_inv @ b
 
 
 def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):

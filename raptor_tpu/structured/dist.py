@@ -14,11 +14,10 @@ fast path: shard the slowest grid dimension (contiguous plane blocks), so
   is even; the plan then switches to the other dims, and the small tail is
   agglomerated (replicated) exactly like the algebraic path.
 
-The setup currently runs as the single jitted global program (one chip
-holds every level; 256^3 in fp32 is ~2 GB/level) and the fine levels are
-then sharded for the solve; pushing the same program under shard_map (the
-Galerkin products need a two-plane halo for their +-2 intermediates) is the
-designated next step for weak-scaling setup.
+``distribute_structured`` builds globally (one jit) then shards the fine
+levels; ``raptor_tpu.structured.dist_setup.sdist_build_hierarchy`` is the
+weak-scaling variant that runs the whole setup under shard_map with plane
+halos (BASELINE.json:11 "weak-scaling setup").
 """
 
 from __future__ import annotations
@@ -142,7 +141,7 @@ def distribute_structured(
             )
         )
     tail = SHierarchy(
-        levels=hier.levels[t:], coarse_chol=hier.coarse_chol,
+        levels=hier.levels[t:], coarse_inv=hier.coarse_inv,
         config=config,
     )
     return SDistHierarchy(levels=tuple(dlevels), tail=tail,

@@ -68,13 +68,13 @@ class SLevel:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_chol"],
+    data_fields=["levels", "coarse_inv"],
     meta_fields=["config"],
 )
 @dataclasses.dataclass(frozen=True)
 class SHierarchy:
     levels: Tuple[SLevel, ...]
-    coarse_chol: jax.Array
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
     config: AmgConfig
 
 
@@ -285,8 +285,8 @@ def _build_hierarchy_planned(
     levels.append(SLevel(A=A, Pt=None, Rt=None, dinv=dinv,
                          red=_parity(A.dims) == 0, cheb_lmax=lmax,
                          dims=A.dims, cdim=-1))
-    chol = _dia_dense_cholesky(A)
-    return SHierarchy(levels=tuple(levels), coarse_chol=chol, config=config)
+    inv = _dia_dense_inverse(A)
+    return SHierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
 
 
 def build_structured_hierarchy(
@@ -301,7 +301,11 @@ def build_structured_hierarchy(
 
 
 @partial(jax.jit, static_argnames=())
-def _dia_dense_cholesky(A: DiaMatrix) -> jax.Array:
+def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
+    """Explicit inverse of the coarsest operator: the coarse solve becomes a
+    single dense matvec (MXU) — triangular back-substitution is sequential
+    and latency-dominated on TPU (docs/DESIGN.md §4).  Inversion cost is
+    setup-only; accuracy is ample for a preconditioner component."""
     n = A.n
     dense = jnp.zeros((n, n), A.dtype)
     rows = jnp.arange(n)
@@ -313,7 +317,7 @@ def _dia_dense_cholesky(A: DiaMatrix) -> jax.Array:
     # regularize empty rows (possible on tiny padded boxes)
     diag_fix = jnp.where(jnp.abs(jnp.diagonal(dense)) > 0, 0.0, 1.0)
     dense = dense + jnp.diag(diag_fix)
-    return jax.scipy.linalg.cholesky(dense, lower=True)
+    return jnp.linalg.inv(dense)
 
 
 # ---------------------------------------------------------------------------
@@ -370,9 +374,7 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
 def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
     lev = hier.levels[k]
     if k == len(hier.levels) - 1:
-        L = hier.coarse_chol
-        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        return hier.coarse_inv @ b
     x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
     r = b - dia_spmv(lev.A, x)
     rc = _compact(dia_spmv(lev.Rt, r), lev.dims, lev.cdim)
