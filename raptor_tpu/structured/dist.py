@@ -55,7 +55,7 @@ Vec = Tuple[int, ...]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "Pt", "Rt", "dinv", "red"],
+    data_fields=["A", "Pt", "Rt", "dinv", "red", "cheb_lmax"],
     meta_fields=["dims_local", "cdim"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +69,7 @@ class SDistLevel:
     Rt: Optional[DiaMatrix]
     dinv: jax.Array
     red: jax.Array
+    cheb_lmax: Optional[jax.Array]  # replicated scalar
     dims_local: Vec
     cdim: int
 
@@ -137,7 +138,8 @@ def distribute_structured(
         dlevels.append(
             SDistLevel(
                 A=lev.A, Pt=lev.Pt, Rt=lev.Rt, dinv=lev.dinv,
-                red=lev.red, dims_local=dims_local, cdim=lev.cdim,
+                red=lev.red, cheb_lmax=lev.cheb_lmax,
+                dims_local=dims_local, cdim=lev.cdim,
             )
         )
     tail = SHierarchy(
@@ -206,6 +208,17 @@ def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
                 upd = lev.red if red_turn else ~lev.red
                 x = x + jnp.where(upd, lev.dinv * r, 0)
         return x
+    if cfg.smoother == "cheb4":
+        r = b - spmv(x)
+        d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
+        x = x + d
+        for k in range(2, cfg.cheb_degree + 1):
+            r = r - spmv(d)
+            d = ((2 * k - 3) / (2 * k + 1)) * d + (
+                (8 * k - 4) / (2 * k + 1) / lev.cheb_lmax
+            ) * (lev.dinv * r)
+            x = x + d
+        return x
     raise ValueError(f"distributed structured smoother: {cfg.smoother}")
 
 
@@ -246,6 +259,7 @@ def _hier_spec(dh: SDistHierarchy) -> SDistHierarchy:
         SDistLevel(
             A=sharded_dia(lv.A), Pt=sharded_dia(lv.Pt), Rt=sharded_dia(lv.Rt),
             dinv=P(AXIS), red=P(AXIS),
+            cheb_lmax=None if lv.cheb_lmax is None else P(),
             dims_local=lv.dims_local, cdim=lv.cdim,
         )
         for lv in dh.levels

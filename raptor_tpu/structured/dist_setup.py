@@ -229,9 +229,11 @@ def sdist_build_hierarchy(
             Ac = _compact_dia_dist(Ae, dl, D0k, d)
             diag = Ak.diagonal()
             dinv = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+            lmax = (_lmax_dist(Ak, dl, dinv)
+                    if config.smoother in ("chebyshev", "cheb4") else None)
             lev = SDistLevel(
-                A=Ak, Pt=Pt, Rt=Rt, dinv=dinv,
-                red=_dist_parity(dl), dims_local=dl, cdim=d,
+                A=Ak, Pt=Pt, Rt=Rt, dinv=dinv, red=_dist_parity(dl),
+                cheb_lmax=lmax, dims_local=dl, cdim=d,
             )
             levels.append(lev)
             Ak = Ac
@@ -271,7 +273,10 @@ def sdist_build_hierarchy(
             A=DiaMatrix(data=P(None, AXIS), offsets=offs_k, dims=dl),
             Pt=DiaMatrix(data=P(None, AXIS), offsets=p_offs, dims=dl),
             Rt=DiaMatrix(data=P(None, AXIS), offsets=p_offs, dims=dl),
-            dinv=P(AXIS), red=P(AXIS), dims_local=dl, cdim=d,
+            dinv=P(AXIS), red=P(AXIS),
+            cheb_lmax=(P() if config.smoother in ("chebyshev", "cheb4")
+                       else None),
+            dims_local=dl, cdim=d,
         ))
         offs_k = compact_offs(mult_offs(p_offs, mult_offs(offs_k, p_offs)), d)
 

@@ -80,3 +80,20 @@ def test_sdist_2d():
     xn = np.asarray(x)
     assert float(info.relres) <= 1e-8
     assert np.linalg.norm(ref @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_sdist_cheb4():
+    st = stencil_7pt()
+    A = dia_from_stencil(st, (16, 16, 16), dtype=np.float64)
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=32,
+                    max_levels=30)
+    from raptor_tpu.structured.dist_setup import sdist_build_hierarchy
+
+    dh = sdist_build_hierarchy(A, cfg, mesh(), dim_policy="size",
+                               tail_size=256)
+    b = default_rhs(A.n, dtype=np.float64)
+    x, info = sdist_solve(dh, b, mesh(), tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    ref = stencil_grid(st, (16, 16, 16))
+    xn = np.asarray(x)
+    assert np.linalg.norm(ref @ xn - b) / np.linalg.norm(b) <= 1e-7
