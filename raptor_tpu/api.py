@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
-from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_vector
+from raptor_tpu.core.ell import EllMatrix, pad_vector
 from raptor_tpu.ops.sparse_ops import spmv
 from raptor_tpu.setup.hierarchy import Hierarchy, build_hierarchy, hierarchy_stats
 from raptor_tpu.solve.cycle import cycle

@@ -20,7 +20,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

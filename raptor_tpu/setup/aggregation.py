@@ -19,7 +19,6 @@ Pipeline (device-side; per-level widths resolved by the host loop):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

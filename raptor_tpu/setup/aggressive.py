@@ -23,12 +23,11 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from raptor_tpu.core.ell import EllMatrix
 from raptor_tpu.ops.sparse_ops import ell_add, spgemm
 from raptor_tpu.setup.aggregation import _strength_ell
-from raptor_tpu.setup.splitting import C_PT, F_PT, make_perm, pmis_splitting
+from raptor_tpu.setup.splitting import F_PT, make_perm, pmis_splitting
 
 __all__ = ["aggressive_splitting", "multipass_interpolation"]
 

@@ -17,7 +17,6 @@ host-supplied random permutation, reproducing the oracle's total order
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ coarse matrices are latency-bound, so direct-solve them).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from typing import TYPE_CHECKING

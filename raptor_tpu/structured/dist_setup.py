@@ -17,8 +17,6 @@ single-device routines inside the same traced program.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -8,7 +8,6 @@ calls checkpoints the same way.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 from typing import Any
