@@ -81,12 +81,20 @@ def pmis_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
 
 
 def rs_splitting_host(S_csr) -> np.ndarray:
-    """Serial classical Ruge-Stüben first-pass splitting (host NumPy).
+    """Serial classical Ruge-Stüben first-pass splitting (host).
 
     Inherently sequential (priority queue over dynamic weights), so it runs
     on host for the CPU-runnable config 1 (BASELINE.json:7); PMIS/CLJP are
-    the on-device parallel classical splittings.
+    the on-device parallel classical splittings.  Dispatches to the native
+    C++ kernel (native/host_kernels.cpp) when available — 50-200x faster
+    than the interpreted fallback below.
     """
+    from raptor_tpu.utils.native import rs_splitting_native
+
+    cf_native = rs_splitting_native(S_csr)
+    if cf_native is not None:
+        return cf_native
+
     import heapq
     import scipy.sparse as sp
 

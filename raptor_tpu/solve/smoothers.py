@@ -134,8 +134,15 @@ def greedy_coloring_host(indptr, indices, n) -> tuple:
     """Greedy graph coloring on host (setup-only; SURVEY.md §2b C15).
 
     Natural-order greedy gives exactly 2 colors (red-black) on bipartite
-    stencil graphs.  Returns (color array, ncolors).
+    stencil graphs.  Returns (color array, ncolors).  Dispatches to the
+    native C++ kernel when available.
     """
+    from raptor_tpu.utils.native import greedy_coloring_native
+
+    out = greedy_coloring_native(indptr, indices, n)
+    if out is not None:
+        return out
+
     import numpy as np
 
     color = -np.ones(n, dtype=np.int32)

@@ -84,3 +84,38 @@ def test_profiling_hooks_smoke(tmp_path):
         with phase("strength"):
             _ = jnp.ones(8) * 2
     assert "setup" in sink and sink["setup"] >= 0
+
+
+def test_native_kernels_match_python():
+    """Native C++ host kernels (RS splitting, greedy coloring) must agree
+    exactly with the Python fallbacks."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.utils import native
+    from tests.oracle import amg_oracle as oracle
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    A = poisson_2d(20)
+    S = oracle.classical_strength(A, 0.25)
+    cf_native = native.rs_splitting_native(S)
+    cf_py = oracle.rs_splitting(S)
+    assert np.array_equal(cf_native, np.asarray(cf_py, np.int32))
+
+    g = ((A + A.T) != 0).tocsr()
+    color_n, nc_n = native.greedy_coloring_native(g.indptr, g.indices,
+                                                  A.shape[0])
+    # python fallback (import the module-level implementation directly)
+    color_p = -np.ones(A.shape[0], dtype=np.int32)
+    for i in range(A.shape[0]):
+        nbr = g.indices[g.indptr[i]: g.indptr[i + 1]]
+        used = set(color_p[nbr[nbr < i]].tolist()) if nbr.size else set()
+        c = 0
+        while c in used:
+            c += 1
+        color_p[i] = c
+    assert np.array_equal(color_n, color_p)
+    assert nc_n == int(color_p.max()) + 1
