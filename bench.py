@@ -79,6 +79,7 @@ def main():
     from raptor_tpu.structured import (
         DiaMatrix,
         build_structured_hierarchy,
+        cast_hierarchy,
         dia_from_stencil,
         dia_to_scipy,
         structured_solve,
@@ -96,7 +97,10 @@ def main():
 
     dims = (size, size, size)
     n = size**3
-    cfg = AmgConfig(smoother="mcgs", coarse_size=512, max_levels=40)
+    # best measured configuration (docs/DESIGN.md): fourth-kind Chebyshev
+    # degree-2 smoothing, bf16-stored preconditioner hierarchy
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=512,
+                    max_levels=40)
 
     # ---- setup ----
     A = dia_from_stencil(st, dims, dtype=jnp.float32)
@@ -114,21 +118,24 @@ def main():
         f"compile), {len(hier.levels)} levels, "
         f"offsets={[lv.A.n_off for lv in hier.levels]}")
 
-    # ---- V-cycle throughput ----
+    # ---- V-cycle throughput (the production preconditioner application:
+    # bf16-stored operators, fp32 vectors) ----
+    hM = cast_hierarchy(hier, jnp.bfloat16)
     b = jnp.asarray(default_rhs(n, dtype=np.float32))
     N = args.cycles
 
     @jax.jit
     def run_cycles(h, r):  # N cycles inside one program: pure device time
-        return jax.lax.fori_loop(0, N, lambda i, v: scycle(h, v), r)
+        return jax.lax.fori_loop(
+            0, N, lambda i, v: scycle(h, v).astype(jnp.float32), r)
 
     ssum = jax.jit(lambda v: jnp.sum(v))
-    x = run_cycles(hier, b)
+    x = run_cycles(hM, b)
     _ = float(ssum(x))  # 4-byte sync (large downloads pollute the timing)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        x = run_cycles(hier, x)
+        x = run_cycles(hM, x)
     _ = float(ssum(x))
     vcycle_s = (time.perf_counter() - t0) / reps / N
     dofs_per_s = n / vcycle_s
@@ -153,7 +160,7 @@ def main():
             inner_tol = max(args.tol / relres, 2e-5)
             e, info = structured_solve(
                 hier, jnp.asarray(r, jnp.float32), tol=float(inner_tol),
-                maxiter=100,
+                maxiter=100, M_hier=hM,
             )
             iters += int(info.iterations)
             x64 = x64 + np.asarray(e, dtype=np.float64)

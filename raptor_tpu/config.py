@@ -42,6 +42,9 @@ class AmgConfig:
     # coarse-operator sparsification: drop |a_ij| < filter_tol * row max and
     # lump into the diagonal (PAPERS.md:6); 0 disables
     filter_tol: float = 0.0
+    # storage dtype for level operators ('same' | 'bfloat16'): bf16 halves
+    # operator HBM traffic; vectors/reductions stay in the solve dtype
+    operator_store_dtype: str = "same"
     # row padding multiple; the distributed path builds with 8*ndev so every
     # level's padded size divides the device count (SURVEY.md §2b C19)
     pad_multiple: int = 8

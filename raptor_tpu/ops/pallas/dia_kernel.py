@@ -67,7 +67,7 @@ def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = Fals
                 seg = jnp.concatenate(
                     [xw[q:q + R, c:], xw[q + 1:q + 1 + R, :c]], axis=1
                 )
-            term = d_ref[k] * seg
+            term = d_ref[k].astype(seg.dtype) * seg  # accumulate in x dtype
             acc = term if acc is None else acc + term
         o_ref[:, :] = acc
 
@@ -81,7 +81,7 @@ def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = Fals
         ],
         out_specs=pl.BlockSpec((R, LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
         scratch_shapes=[
             pltpu.VMEM((win_rows, LANE), data.dtype),
             pltpu.SemaphoreType.DMA,

@@ -16,6 +16,7 @@ from raptor_tpu.structured.solver import (
     build_structured_hierarchy,
     structured_solve,
     scycle,
+    cast_hierarchy,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "build_structured_hierarchy",
     "structured_solve",
     "scycle",
+    "cast_hierarchy",
 ]

@@ -166,12 +166,27 @@ def dia_to_scipy(A: DiaMatrix):
     ).tocsr()
 
 
+# Route dia_spmv through the fused Pallas kernel (ops/pallas/dia_kernel)
+# when set; resolved at trace time.  XLA's roll fusion is near the bandwidth
+# floor for few-offset operators, the Pallas kernel reads x once regardless
+# of offset count — enable for many-offset (coarse) operators on real TPU.
+USE_PALLAS: bool = False
+PALLAS_MIN_OFFSETS: int = 0
+
+
 def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x via shifted reads: y_i = sum_k data[k,i] * x[i + off_k].
 
     Wrap-around reads are annihilated by the boundary-zeroed diagonals.
     """
     lins = A.linear_offsets()
+    if USE_PALLAS and A.n_off >= PALLAS_MIN_OFFSETS and A.n % 128 == 0:
+        try:
+            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas
+
+            return dia_spmv_pallas(A.data, lins, x)
+        except Exception:
+            pass  # fall through to the XLA roll path
     y = None
     for k, o in enumerate(lins):
         term = A.data[k] * (x if o == 0 else jnp.roll(x, -o))

@@ -44,7 +44,7 @@ from raptor_tpu.structured.dia import (
 )
 
 __all__ = ["SLevel", "SHierarchy", "build_structured_hierarchy",
-           "structured_solve", "scycle"]
+           "structured_solve", "scycle", "cast_hierarchy"]
 
 Vec = Tuple[int, ...]
 
@@ -297,7 +297,29 @@ def build_structured_hierarchy(
     """Semicoarsening hierarchy: plan the (static) coarsening sequence, then
     run the numeric setup as a single jitted program."""
     plan = plan_coarsening(A, config, dim_policy)
-    return _build_hierarchy_planned(A, config, plan)
+    hier = _build_hierarchy_planned(A, config, plan)
+    if config.operator_store_dtype != "same":
+        hier = cast_hierarchy(hier, jnp.dtype(config.operator_store_dtype))
+    return hier
+
+
+def cast_hierarchy(hier: SHierarchy, dtype) -> SHierarchy:
+    """Store the level operators (A/Pt/Rt diagonals) in a narrower dtype —
+    bfloat16 halves the dominant HBM traffic of the V-cycle (+39% measured
+    at 128^3 with identical iteration counts; docs/DESIGN.md).  Vectors and
+    reductions stay in the solve dtype: the mixed multiply promotes, so only
+    storage precision drops — the same trick as bf16 weights in NN serving."""
+
+    def cd(m):
+        return None if m is None else dataclasses.replace(
+            m, data=m.data.astype(dtype))
+
+    levels = tuple(
+        dataclasses.replace(lv, A=cd(lv.A), Pt=cd(lv.Pt), Rt=cd(lv.Rt))
+        for lv in hier.levels
+    )
+    return SHierarchy(levels=levels, coarse_inv=hier.coarse_inv,
+                      config=hier.config)
 
 
 @partial(jax.jit, static_argnames=())
@@ -400,16 +422,23 @@ def structured_solve(
     maxiter: int = 200,
     krylov: str = "cg",
     precondition: bool = True,
+    M_hier: SHierarchy | None = None,
 ):
-    """Jitted structured AMG-PCG solve (one program, no host round-trips)."""
+    """Jitted structured AMG-PCG solve (one program, no host round-trips).
+
+    ``M_hier``: optional separate hierarchy for the preconditioner — pass a
+    bf16-cast copy (``cast_hierarchy``) to halve the cycle's HBM traffic
+    while the Krylov operator and residuals stay in ``hier``'s precision.
+    """
     A = hier.levels[0].A
+    Mh = hier if M_hier is None else M_hier
 
     def apply_A(x):
         return dia_spmv(A, x)
 
     if precondition:
         def apply_M(r):
-            return scycle(hier, r)
+            return scycle(Mh, r).astype(b.dtype)
     else:
         apply_M = lambda r: r
 

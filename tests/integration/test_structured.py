@@ -70,3 +70,33 @@ def test_structured_jacobi_and_cheb():
     for sm in ("jacobi", "chebyshev"):
         iters, rel, true_rel, _ = run(ST5, (32, 32), smoother=sm)
         assert rel <= 1e-8 and true_rel <= 1e-7, sm
+
+
+def test_bf16_preconditioner():
+    """bf16-cast preconditioner hierarchy: the Krylov operator and residual
+    stay fp32, the V-cycle runs on bf16-stored operators — iteration count
+    must match fp32-M and the TRUE residual must certify (the scheme used
+    by bench.py; docs/DESIGN.md)."""
+    import jax.numpy as jnp
+    from raptor_tpu.structured import (
+        build_structured_hierarchy,
+        cast_hierarchy,
+        dia_from_stencil,
+        structured_solve,
+    )
+
+    A = dia_from_stencil(ST5, (32, 32), dtype=np.float32)
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=32,
+                    max_levels=30)
+    hier = build_structured_hierarchy(A, cfg)
+    hM = cast_hierarchy(hier, jnp.bfloat16)
+    assert hM.levels[0].A.data.dtype == jnp.bfloat16
+    b = default_rhs(A.n, dtype=np.float32)
+    x32, i32 = structured_solve(hier, jnp.asarray(b), tol=1e-6, maxiter=60)
+    xbf, ibf = structured_solve(hier, jnp.asarray(b), tol=1e-6, maxiter=60,
+                                M_hier=hM)
+    assert float(ibf.relres) <= 1e-6
+    assert abs(int(ibf.iterations) - int(i32.iterations)) <= 1
+    ref = stencil_grid(ST5, (32, 32))
+    tr = np.linalg.norm(ref @ np.asarray(xbf, np.float64) - b) / np.linalg.norm(b)
+    assert tr <= 5e-6
