@@ -123,3 +123,34 @@ def test_dist_solve_mcgs():
     assert float(info.relres) <= 1e-8
     xn = np.asarray(x)[:n]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dist_spmv_random_matrix_property(seed):
+    """Property test (SURVEY.md §4.4): for random sparse SPD-patterned
+    matrices and the induced random halo plans, the distributed SpMV equals
+    the single-device SpMV (gather-through-halo == direct gather)."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(seed)
+    n = 8 * NDEV * rng.integers(2, 5)
+    a = sp.random(n, n, density=0.08,
+                  random_state=np.random.RandomState(seed), format="csr")
+    a.data = rng.standard_normal(a.nnz)
+    a = a + a.T + 4.0 * sp.eye(n)
+    E = ell_from_csr(a.tocsr(), dtype=np.float64, row_pad_multiple=8 * NDEV)
+    dm = distribute_matrix(E, NDEV)
+    x = jnp.asarray(rng.standard_normal(E.n_rows_pad))
+    y_ref = spmv(E, x)
+
+    mesh = make_solve_mesh(NDEV)
+    from raptor_tpu.parallel.dist import _dm_spec
+
+    y = jax.jit(
+        jax.shard_map(
+            lambda dm, x: dist_spmv(dm, x),
+            mesh=mesh, in_specs=(_dm_spec(dm), P("x")), out_specs=P("x"),
+        )
+    )(dm, x)
+    assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
