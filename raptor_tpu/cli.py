@@ -107,6 +107,13 @@ def cmd_bench(args):
 
     name, n, cfg_kw = PRESET_PROBLEMS[args.preset]
     n = args.n or n
+
+    if args.preset == "config5":
+        # distributed structured path (BASELINE.json:11): plane-sharded
+        # hierarchy + ppermute halos over all available devices; falls back
+        # to the single-chip structured engine on one device
+        return _bench_config5(n, args)
+
     A, B, dims = _problem(name, n)
     b = default_rhs(A.shape[0])
     cfg = AmgConfig(**cfg_kw)
@@ -137,6 +144,56 @@ def cmd_bench(args):
         "iterations": int(info.iterations),
         "relres": relres,
         "stats": hierarchy_stats(hier),
+    }))
+
+
+def _bench_config5(n, args):
+    import jax
+    import jax.numpy as jnp
+
+    from raptor_tpu.config import AmgConfig
+    from raptor_tpu.gallery import default_rhs
+    from raptor_tpu.structured import (
+        build_structured_hierarchy,
+        dia_from_stencil,
+        structured_solve,
+    )
+
+    st = np.zeros((3, 3, 3))
+    st[1, 1, 1] = 6.0
+    for d in range(3):
+        i = [1, 1, 1]
+        for sgn in (0, 2):
+            i[d] = sgn
+            st[tuple(i)] = -1.0
+        i[d] = 1
+    cfg = AmgConfig(smoother="mcgs", coarse_size=512, max_levels=40)
+    ndev = len(jax.devices())
+    A = dia_from_stencil(st, (n, n, n), dtype=jnp.float32)
+    b = jnp.asarray(default_rhs(n**3, dtype=np.float32))
+    t0 = time.perf_counter()
+    if ndev > 1 and n % ndev == 0:
+        from raptor_tpu.structured.dist import sdist_solve
+        from raptor_tpu.structured.dist_setup import sdist_build_hierarchy
+
+        mesh = jax.make_mesh((ndev,), ("x",))
+        hier = sdist_build_hierarchy(A, cfg, mesh, dim_policy="size")
+        setup_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, info = sdist_solve(hier, b, mesh, tol=1e-6, maxiter=args.maxiter)
+    else:
+        hier = build_structured_hierarchy(A, cfg, dim_policy="size")
+        setup_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, info = structured_solve(hier, b, tol=1e-6, maxiter=args.maxiter)
+    jax.block_until_ready(x)
+    print(json.dumps({
+        "preset": "config5",
+        "problem": f"poisson3d n={n} (structured, {ndev} device(s))",
+        "setup_s": setup_s,
+        "solve_s": time.perf_counter() - t0,
+        "iterations": int(info.iterations),
+        "relres": float(info.relres),
     }))
 
 
