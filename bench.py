@@ -107,12 +107,12 @@ def main():
     _ = np.asarray(A.data[0, :8])
     t0 = time.perf_counter()
     hier = build_structured_hierarchy(A, cfg, dim_policy="size")
-    _ = np.asarray(hier.coarse_chol[:1, :1])
+    _ = np.asarray(hier.coarse_inv[:1, :1])
     setup_cold_s = time.perf_counter() - t0
     # warm setup: same shapes hit the jit cache — the honest compute time
     t0 = time.perf_counter()
     hier = build_structured_hierarchy(A, cfg, dim_policy="size")
-    _ = np.asarray(hier.coarse_chol[:1, :1])
+    _ = np.asarray(hier.coarse_inv[:1, :1])
     setup_s = time.perf_counter() - t0
     log(f"setup: {setup_s:.3f}s warm ({setup_cold_s:.1f}s cold incl. "
         f"compile), {len(hier.levels)} levels, "
