@@ -105,6 +105,23 @@ def boundary_mask(dims: Vec, off: Vec) -> np.ndarray:
     return m.ravel()
 
 
+def boundary_mask_traced(dims: Vec, off: Vec) -> jax.Array:
+    """Traced (iota-based) boundary mask: unlike the host version this does
+    NOT bake an n-sized constant into the jitted program — essential for the
+    one-jit setup at scale (a 256^3 build would otherwise embed gigabytes of
+    mask constants and overflow the compiler)."""
+    m = None
+    for ax, d in enumerate(off):
+        if d == 0:
+            continue
+        io = jax.lax.broadcasted_iota(jnp.int32, dims, ax)
+        ok = (io + d >= 0) & (io + d < dims[ax])
+        m = ok if m is None else m & ok
+    if m is None:
+        return jnp.ones(int(np.prod(dims)), bool)
+    return m.reshape(-1)
+
+
 def dia_from_stencil(stencil: np.ndarray, dims: Vec, dtype=jnp.float32) -> DiaMatrix:
     """Constant-stencil operator (matches gallery.stencil_grid truncation)."""
     stencil = np.asarray(stencil)

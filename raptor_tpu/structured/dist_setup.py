@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raptor_tpu.config import AmgConfig
-from raptor_tpu.structured.dia import DiaMatrix, _linear, boundary_mask
+from raptor_tpu.structured.dia import DiaMatrix, _linear, boundary_mask_traced
 from raptor_tpu.structured.dist import (
     AXIS,
     SDistHierarchy,
@@ -111,7 +111,7 @@ def _sdist_transpose(A: DiaMatrix, dims_local: Vec) -> DiaMatrix:
 def _bmask_dist(dims_local: Vec, D0: int, off: Vec) -> jax.Array:
     """Boundary-validity mask on the local box with dim0 judged GLOBALLY
     (traced: uses the shard index)."""
-    m = jnp.asarray(boundary_mask(dims_local, (0,) + tuple(off[1:])))
+    m = boundary_mask_traced(dims_local, (0,) + tuple(off[1:]))
     if off[0] == 0:
         return m
     me = jax.lax.axis_index(AXIS)
@@ -124,8 +124,10 @@ def _bmask_dist(dims_local: Vec, D0: int, off: Vec) -> jax.Array:
 def _build_transfer_dist(A: DiaMatrix, dims_local: Vec, D0: int, d: int):
     from raptor_tpu.structured.solver import _collapse_weights
 
-    cm = jnp.asarray(_c_mask(dims_local, d))  # d==0: valid because the
-    # per-shard plane count is even, so local parity == global parity
+    from raptor_tpu.structured.solver import _c_mask_traced
+
+    cm = _c_mask_traced(dims_local, d)  # d==0: valid because the per-shard
+    # plane count is even, so local parity == global parity
     fm = ~cm
     w_m, w_p = _collapse_weights(
         DiaMatrix(data=A.data, offsets=A.offsets, dims=dims_local), d

@@ -35,6 +35,7 @@ from raptor_tpu.solve.krylov import bicgstab, pcg
 from raptor_tpu.structured.dia import (
     DiaMatrix,
     boundary_mask,
+    boundary_mask_traced,
     dia_add,
     dia_mult,
     dia_prune,
@@ -120,6 +121,12 @@ def _c_mask(dims: Vec, d: int) -> np.ndarray:
     return m.ravel()
 
 
+def _c_mask_traced(dims: Vec, d: int) -> jax.Array:
+    """Traced C-plane mask (no n-sized constants in the program)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, dims, d)
+    return (io % 2 == 0).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # setup
 # ---------------------------------------------------------------------------
@@ -147,13 +154,13 @@ def _build_transfer(A: DiaMatrix, d: int) -> DiaMatrix:
     """Embedded prolongation Pt on A's grid: identity at C planes (coord_d
     even), line interpolation from the two in-line C neighbors at F planes."""
     dims = A.dims
-    cm = jnp.asarray(_c_mask(dims, d))
+    cm = _c_mask_traced(dims, d)
     fm = ~cm
     w_m, w_p = _collapse_weights(A, d)
     e = tuple(1 if ax == d else 0 for ax in range(len(dims)))
     ne = tuple(-1 if ax == d else 0 for ax in range(len(dims)))
-    bm_p = jnp.asarray(boundary_mask(dims, e))
-    bm_m = jnp.asarray(boundary_mask(dims, ne))
+    bm_p = boundary_mask_traced(dims, e)
+    bm_m = boundary_mask_traced(dims, ne)
     zero_off = tuple([0] * len(dims))
     data = jnp.stack([
         jnp.where(fm & bm_m, w_m, 0.0).astype(A.dtype),
@@ -174,7 +181,7 @@ def _compact_dia(Ae: DiaMatrix, d: int) -> DiaMatrix:
         oc = tuple(v // 2 if ax == d else v for ax, v in enumerate(o))
         plane = _compact(Ae.data[k], dims, d)
         # re-truncate for the coarse grid box
-        plane = plane * jnp.asarray(boundary_mask(cd, oc), Ae.dtype)
+        plane = plane * boundary_mask_traced(cd, oc).astype(Ae.dtype)
         planes.append(plane)
         offs.append(oc)
     return DiaMatrix(data=jnp.stack(planes), offsets=tuple(offs), dims=cd)
@@ -334,7 +341,7 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
     for k, off in enumerate(A.offsets):
         lin = _linear(off, A.dims)
         cols = jnp.clip(rows + lin, 0, n - 1)
-        valid = jnp.asarray(boundary_mask(A.dims, off))
+        valid = boundary_mask_traced(A.dims, off)
         dense = dense.at[rows, cols].add(jnp.where(valid, A.data[k], 0.0))
     # regularize empty rows (possible on tiny padded boxes)
     diag_fix = jnp.where(jnp.abs(jnp.diagonal(dense)) > 0, 0.0, 1.0)
