@@ -83,7 +83,7 @@ def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = Fals
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, LANE), data.dtype),
+            pltpu.VMEM((win_rows, LANE), x_pad.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -197,7 +197,10 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     Wrap-around reads are annihilated by the boundary-zeroed diagonals.
     """
     lins = A.linear_offsets()
-    if USE_PALLAS and A.n_off >= PALLAS_MIN_OFFSETS and A.n % 128 == 0:
+    if (USE_PALLAS and A.n_off >= PALLAS_MIN_OFFSETS and A.n % 128 == 0
+            and A.data.dtype == jnp.float32):
+        # fp32 only: the windowed-DMA kernel is validated for f32 tiles
+        # (a bf16-data variant needs its own tiling treatment)
         try:
             from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas
 
