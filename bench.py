@@ -141,37 +141,28 @@ def main():
     dofs_per_s = n / vcycle_s
     log(f"V-cycle: {vcycle_s*1e3:.2f} ms -> {dofs_per_s/1e9:.3f} GDOF/s")
 
-    # ---- solve to true 1e-8 (fp32 device + fp64 host refinement) ----
-    import scipy.sparse as sp
+    # ---- solve to true 1e-8: fully on device (fp32 inner AMG-PCG inside
+    # compensated double-float32 refinement — one jit, no host round-trips,
+    # no fp64 emulation; docs/DESIGN.md §5b) ----
+    from raptor_tpu.structured import structured_solve_refined
+
+    (xh, xl), rel, iters = structured_solve_refined(
+        hier, b, tol=args.tol, M_hier=hM)  # warm (compile)
+    _ = float(rel)
+    t0 = time.perf_counter()
+    (xh, xl), rel, iters = structured_solve_refined(
+        hier, b, tol=args.tol, M_hier=hM)
+    _ = float(rel)
+    solve_s = time.perf_counter() - t0
+    iters_total = int(iters)
+    # honest external verification in numpy fp64
     from raptor_tpu.gallery import stencil_grid
 
     A_sp = stencil_grid(st, dims)
     b64 = np.asarray(b, dtype=np.float64)
-    bnorm = np.linalg.norm(b64)
-
-    def refined_solve():
-        x64 = np.zeros(n)
-        iters = 0
-        for _ in range(4):
-            r = b64 - A_sp @ x64
-            relres = np.linalg.norm(r) / bnorm
-            if relres < args.tol:
-                break
-            inner_tol = max(args.tol / relres, 2e-5)
-            e, info = structured_solve(
-                hier, jnp.asarray(r, jnp.float32), tol=float(inner_tol),
-                maxiter=100, M_hier=hM,
-            )
-            iters += int(info.iterations)
-            x64 = x64 + np.asarray(e, dtype=np.float64)
-        return x64, iters
-
-    refined_solve()  # warm (compile)
-    t0 = time.perf_counter()
-    x64, iters_total = refined_solve()
-    solve_s = time.perf_counter() - t0
-    r = b64 - A_sp @ x64
-    final_relres = float(np.linalg.norm(r) / bnorm)
+    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    final_relres = float(
+        np.linalg.norm(b64 - A_sp @ x64) / np.linalg.norm(b64))
     log(f"solve: {solve_s:.3f}s, {iters_total} PCG iterations, "
         f"true relres {final_relres:.2e}")
 

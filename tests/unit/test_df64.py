@@ -1,0 +1,79 @@
+"""Compensated double-float32 arithmetic: must certify residuals to ~1e-14
+relative against numpy fp64 (the on-device replacement for fp64 refinement;
+raptor_tpu/utils/df64.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.utils.df64 import df_add, df_from, two_prod, two_sum
+
+
+def test_two_sum_exact():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(1000), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(1000) * 1e-6, jnp.float32)
+    s, e = jax.jit(two_sum)(a, b)
+    exact = a.astype(np.float64) + b.astype(np.float64)
+    got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, np.asarray(exact))  # error-free
+
+
+def test_two_prod_exact():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal(1000), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(1000), jnp.float32)
+    p, e = jax.jit(two_prod)(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, exact)  # fp32 products are exact in fp64
+
+
+def test_df64_residual_precision():
+    from raptor_tpu.structured import dia_from_stencil
+    from raptor_tpu.structured.solver import _df64_residual
+
+    st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], float)
+    from raptor_tpu.gallery import stencil_grid
+
+    dims = (32, 32)
+    A = dia_from_stencil(st, dims, dtype=np.float32)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(A.n).astype(np.float32)
+    b = rng.standard_normal(A.n).astype(np.float32)
+    rh, rl = jax.jit(_df64_residual)(
+        A, jnp.asarray(x), jnp.zeros(A.n, jnp.float32),
+        jnp.asarray(b), jnp.zeros(A.n, jnp.float32),
+    )
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    ref = b.astype(np.float64) - stencil_grid(st, dims).astype(
+        np.float64) @ x.astype(np.float64)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-30)
+    assert err < 1e-12, err
+
+
+def test_structured_solve_refined_certifies_1e8():
+    from raptor_tpu.config import AmgConfig
+    from raptor_tpu.gallery import default_rhs, stencil_grid
+    from raptor_tpu.structured import (
+        build_structured_hierarchy,
+        dia_from_stencil,
+        structured_solve_refined,
+    )
+
+    st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], float)
+    dims = (64, 64)
+    A = dia_from_stencil(st, dims, dtype=np.float32)
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=64,
+                    max_levels=30)
+    hier = build_structured_hierarchy(A, cfg)
+    b = jnp.asarray(default_rhs(A.n, dtype=np.float32))
+    (xh, xl), relres, iters = structured_solve_refined(hier, b, tol=1e-8)
+    assert float(relres) <= 1e-8
+    # verify against honest fp64: collapse the df64 pair exactly
+    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    ref = stencil_grid(st, dims)
+    tr = np.linalg.norm(ref @ x64 - np.asarray(b, np.float64)) \
+        / np.linalg.norm(np.asarray(b, np.float64))
+    assert tr <= 2e-8, tr  # the df64 certification is honest
+    assert int(iters) <= 40
