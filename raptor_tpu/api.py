@@ -35,6 +35,58 @@ def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hierarchy:
     return build_hierarchy(A, config, dtype=dtype)
 
 
+@partial(jax.jit, static_argnames=("maxiter", "outer"))
+def solve_hier_refined(
+    hier: Hierarchy,
+    b: jax.Array,
+    tol: float = 1e-8,
+    maxiter: int = 100,
+    outer: int = 3,
+):
+    """Solve to a TRUE <=tol relative residual entirely on device: fp32
+    AMG-PCG inner solves inside compensated-double-float32 iterative
+    refinement (utils/df64.py) — one jitted program, no host round-trips,
+    no fp64 (the algebraic-engine counterpart of
+    structured_solve_refined).  Returns ((x_hi, x_lo), true_relres, iters).
+    """
+    from raptor_tpu.utils.df64 import df_add, df_from, two_prod
+
+    A = hier.levels[0].A
+
+    def apply_A(v):
+        return spmv(A, v)
+
+    def apply_M(r):
+        return cycle(hier, r)
+
+    def residual(xh, xl, bh, bl):
+        rh, rl = bh, bl
+        for k in range(A.K):
+            gh = jnp.take(xh, A.cols[k], axis=0)
+            gl = jnp.take(xl, A.cols[k], axis=0)
+            ph, pe = two_prod(A.data[k], gh)
+            pe = pe + A.data[k] * gl
+            rh, rl = df_add(rh, rl, -ph, -pe)
+        return rh, rl
+
+    bh, bl = df_from(b)
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+    xh = jnp.zeros_like(b)
+    xl = jnp.zeros_like(b)
+    total_it = jnp.int32(0)
+    for _ in range(outer):
+        rh, rl = residual(xh, xl, bh, bl)
+        relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+        inner_tol = jnp.clip(tol / jnp.maximum(relres, 1e-30), 1e-5, 0.9)
+        e, info = pcg(apply_A, rh, apply_M, tol=inner_tol, maxiter=maxiter)
+        total_it = total_it + info.iterations
+        xh, xl = df_add(xh, xl, e, jnp.zeros_like(e))
+    rh, rl = residual(xh, xl, bh, bl)
+    true_relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+    return (xh, xl), true_relres, total_it
+
+
 @partial(jax.jit, static_argnames=("krylov", "maxiter", "precondition"))
 def solve_hier(
     hier: Hierarchy,
@@ -128,7 +180,22 @@ def solve(
         )
         return _finish(x, info, n, hier)
 
-    # fp64-outer iterative refinement around the fp32 device solve.
+    if solve_config.refine_device and solve_config.krylov == "cg":
+        # fully on-device refinement with compensated-fp32 residuals
+        bd = pad_vector(b.astype(dtype), A0.n_rows_pad)
+        (xh, xl), relres, iters = solve_hier_refined(
+            hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
+        )
+        x64 = (np.asarray(xh[:n], np.float64)
+               + np.asarray(xl[:n], np.float64))
+        return x64, {
+            "iterations": int(iters),
+            "relres": float(relres),
+            "status": 0,
+            "stats": hierarchy_stats(hier),
+        }
+
+    # fp64-outer iterative refinement around the fp32 device solve (host).
     assert A_sp is not None, "refinement needs the host matrix for fp64 residuals"
     x64 = np.zeros(n, dtype=np.float64)
     bnorm = np.linalg.norm(b)

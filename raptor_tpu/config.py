@@ -59,6 +59,8 @@ class SolveConfig:
     dtype: str = "float32"
     refine: bool = False
     refine_steps: int = 3
+    # on-device refinement (compensated-fp32 residuals, one jit) vs host fp64
+    refine_device: bool = True
 
 
 # The five acceptance configurations (BASELINE.json:7-11).

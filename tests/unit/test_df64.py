@@ -77,3 +77,20 @@ def test_structured_solve_refined_certifies_1e8():
         / np.linalg.norm(np.asarray(b, np.float64))
     assert tr <= 2e-8, tr  # the df64 certification is honest
     assert int(iters) <= 40
+
+
+def test_algebraic_device_refinement():
+    """solve() with refine=True + refine_device runs the whole refinement on
+    device and certifies the true fp64 residual."""
+    from raptor_tpu import solve, AmgConfig, SolveConfig
+    from raptor_tpu.gallery import poisson_2d, default_rhs
+
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis", smoother="jacobi"),
+        SolveConfig(dtype="float32", refine=True, refine_device=True),
+    )
+    tr = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert info["relres"] <= 1e-8
+    assert tr <= 2e-8, tr
