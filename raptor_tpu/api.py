@@ -42,6 +42,7 @@ def solve_hier_refined(
     tol: float = 1e-8,
     maxiter: int = 100,
     outer: int = 3,
+    b_lo: jax.Array | None = None,
 ):
     """Solve to a TRUE <=tol relative residual entirely on device: fp32
     AMG-PCG inner solves inside compensated-double-float32 iterative
@@ -69,7 +70,7 @@ def solve_hier_refined(
             rh, rl = df_add(rh, rl, -ph, -pe)
         return rh, rl
 
-    bh, bl = df_from(b)
+    bh, bl = (b, b_lo) if b_lo is not None else df_from(b)
     bnorm = jnp.sqrt(jnp.vdot(b, b))
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     xh = jnp.zeros_like(b)
@@ -181,10 +182,16 @@ def solve(
         return _finish(x, info, n, hier)
 
     if solve_config.refine_device and solve_config.krylov == "cg":
-        # fully on-device refinement with compensated-fp32 residuals
-        bd = pad_vector(b.astype(dtype), A0.n_rows_pad)
+        # fully on-device refinement with compensated-fp32 residuals;
+        # b enters as an exact df64 pair so fp64 inputs are certified
+        # against the UNROUNDED right-hand side
+        b_hi = b.astype(np.float32)
+        b_lo = (b - b_hi.astype(np.float64)).astype(np.float32)
+        bd = pad_vector(b_hi, A0.n_rows_pad)
+        bdl = pad_vector(b_lo, A0.n_rows_pad)
         (xh, xl), relres, iters = solve_hier_refined(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
+            b_lo=bdl,
         )
         x64 = (np.asarray(xh[:n], np.float64)
                + np.asarray(xl[:n], np.float64))
