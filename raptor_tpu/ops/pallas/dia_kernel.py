@@ -75,7 +75,9 @@ def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = Fals
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded x, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.HBM),  # padded x, DMA'd manually
+            # (explicit HBM: with ANY, XLA may place small inputs in VMEM
+            # inside larger programs and the manual DMA faults the worker)
             pl.BlockSpec((n_off, R, LANE), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
