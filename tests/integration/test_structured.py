@@ -1,6 +1,7 @@
 """Structured DIA engine end-to-end: the TPU fast path must match the
 algebraic oracle's convergence class on the acceptance problems."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -100,3 +101,27 @@ def test_bf16_preconditioner():
     ref = stencil_grid(ST5, (32, 32))
     tr = np.linalg.norm(ref @ np.asarray(xbf, np.float64) - b) / np.linalg.norm(b)
     assert tr <= 5e-6
+
+
+def test_structured_wcycle():
+    from raptor_tpu.structured import (
+        build_structured_hierarchy,
+        dia_from_stencil,
+        structured_solve,
+    )
+
+    A = dia_from_stencil(ST5, (32, 32), dtype=np.float64)
+    it_v = it_w = None
+    for cyc in ("V", "W"):
+        cfg = AmgConfig(smoother="jacobi", cycle=cyc, coarse_size=32,
+                        max_levels=30)
+        hier = build_structured_hierarchy(A, cfg)
+        b = default_rhs(A.n, dtype=np.float64)
+        x, info = structured_solve(hier, jnp.asarray(b), tol=1e-8,
+                                   maxiter=100)
+        assert float(info.relres) <= 1e-8
+        if cyc == "V":
+            it_v = int(info.iterations)
+        else:
+            it_w = int(info.iterations)
+    assert it_w <= it_v
