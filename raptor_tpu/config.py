@@ -45,6 +45,11 @@ class AmgConfig:
     # storage dtype for level operators ('same' | 'bfloat16'): bf16 halves
     # operator HBM traffic; vectors/reductions stay in the solve dtype
     operator_store_dtype: str = "same"
+    # structured engine: coarsen every dim at once (BoxMG staged
+    # interpolation) when couplings are balanced — ~2x fewer levels and less
+    # per-cycle work, at the cost of a much larger (one-time, cached) setup
+    # compile; opt-in
+    full_coarsening: bool = False
     # row padding multiple; the distributed path builds with 8*ndev so every
     # level's padded size divides the device count (SURVEY.md §2b C19)
     pad_multiple: int = 8

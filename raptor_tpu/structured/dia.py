@@ -226,13 +226,18 @@ def dia_transpose(A: DiaMatrix) -> DiaMatrix:
                      offsets=tuple(o for o, _ in items), dims=A.dims)
 
 
-def dia_mult(A: DiaMatrix, B: DiaMatrix) -> DiaMatrix:
+def dia_mult(A: DiaMatrix, B: DiaMatrix, keep=None) -> DiaMatrix:
     """C = A @ B: C_{o1+o2} += A_{o1} * roll(B_{o2}, -lin(o1)).
 
     Offset arithmetic is on vector offsets (exact); the host computes the
     static union of offset sums, the device does n_offA*n_offB fused
     multiply-roll-adds.  This is the structured Galerkin SpGEMM
     (BASELINE.json:5) — zero gathers.
+
+    ``keep``: optional static predicate offset->bool; output keys failing it
+    are skipped entirely.  Callers use it when an offset class is provably
+    zero (e.g. odd offsets between all-even C points in full coarsening) to
+    avoid materializing structurally-dead planes.
     """
     assert A.dims == B.dims
     out: dict[Vec, list] = {}
@@ -241,6 +246,8 @@ def dia_mult(A: DiaMatrix, B: DiaMatrix) -> DiaMatrix:
         a = A.data[i]
         for j, o2 in enumerate(B.offsets):
             key = tuple(x + y for x, y in zip(o1, o2))
+            if keep is not None and not keep(key):
+                continue
             term = a * (B.data[j] if lin1 == 0 else jnp.roll(B.data[j], -lin1))
             out.setdefault(key, []).append(term)
     offs = sorted(out.keys())
@@ -267,6 +274,17 @@ def dia_add(A: DiaMatrix, B: DiaMatrix, alpha=1.0, beta=1.0) -> DiaMatrix:
     offs = sorted(out.keys())
     return DiaMatrix(
         data=jnp.stack([out[o] for o in offs]), offsets=tuple(offs), dims=A.dims
+    )
+
+
+def dia_filter_offsets(A: DiaMatrix, pred) -> DiaMatrix:
+    """Drop planes whose offset fails a static predicate (used to remove
+    provably-zero offset classes after compositions)."""
+    idx = [k for k, o in enumerate(A.offsets) if pred(o)]
+    return DiaMatrix(
+        data=jnp.stack([A.data[k] for k in idx]),
+        offsets=tuple(A.offsets[k] for k in idx),
+        dims=A.dims,
     )
 
 

@@ -95,7 +95,9 @@ def plan_coarsening_dist(
     sharded dim0 is only coarsened if the per-shard plane count stays even
     (balanced shards, parity-aligned compaction); sharding stops
     (agglomeration onto replicas) once the grid drops below tail_size."""
-    full = plan_coarsening(A, config, dim_policy)
+    # full-coarsening steps are not supported by the plane-sharded
+    # distributed kernels yet: plan with semicoarsening only
+    full = plan_coarsening(A, config, dim_policy, allow_full=False)
     dims = list(A.dims)
     plan = []
     t = 0

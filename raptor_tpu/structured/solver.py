@@ -171,6 +171,107 @@ def _build_transfer(A: DiaMatrix, d: int) -> DiaMatrix:
     return DiaMatrix(data=data, offsets=(ne, zero_off, e), dims=dims)
 
 
+def _build_transfer_full(A: DiaMatrix) -> DiaMatrix:
+    """Embedded prolongation for FULL coarsening (C = all-even points):
+    BoxMG-style staged operator-induced interpolation.
+
+    Stage s defines the F-points that are odd in exactly s dimensions from
+    already-defined neighbors (fewer odd dims), with weights from the
+    stencil collapsed over the even dims:
+
+        w_sigma = - (Σ_{o: o|T = sigma} a_o) / (Σ_{o: o|T = 0} a_o)
+
+    for each odd-dim subset T and sigma in {-1,0,1}^T minus 0.  The total
+    prolongator is the composition P_nd ∘ ... ∘ P_1; parity reasoning
+    bounds its true support to inf-norm <= 1 offsets, so structurally-dead
+    planes from the Minkowski composition are filtered exactly.
+    """
+    import itertools
+
+    from raptor_tpu.structured.dia import dia_filter_offsets
+
+    dims = A.dims
+    nd = len(dims)
+    odd = [
+        (jax.lax.broadcasted_iota(jnp.int32, dims, d) % 2 == 1).reshape(-1)
+        for d in range(nd)
+    ]
+
+    def embed(T, sigma):
+        o = [0] * nd
+        for d, v in zip(T, sigma):
+            o[d] = v
+        return tuple(o)
+
+    stages = []
+    for s_ in range(1, nd + 1):
+        planes: dict = {}
+        class_any = None
+        for T in itertools.combinations(range(nd), s_):
+            mask = None
+            for d in range(nd):
+                m = odd[d] if d in T else ~odd[d]
+                mask = m if mask is None else mask & m
+            class_any = mask if class_any is None else class_any | mask
+            # collapsed couplings over the non-T dims
+            denom = None
+            for k, o in enumerate(A.offsets):
+                if all(o[d] == 0 for d in T):
+                    denom = A.data[k] if denom is None else denom + A.data[k]
+            denom = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+            for sigma in itertools.product((-1, 0, 1), repeat=s_):
+                if all(v == 0 for v in sigma):
+                    continue
+                num = None
+                for k, o in enumerate(A.offsets):
+                    if all(o[d] == v for d, v in zip(T, sigma)):
+                        num = A.data[k] if num is None else num + A.data[k]
+                if num is None:
+                    continue
+                w = jnp.where(mask, -num / denom, 0.0).astype(A.dtype)
+                off = embed(T, sigma)
+                planes[off] = planes.get(off, 0) + w
+        # identity on everything not in this stage's classes
+        zero = tuple([0] * nd)
+        ident = jnp.where(class_any, 0.0, 1.0).astype(A.dtype)
+        planes[zero] = planes.get(zero, 0) + ident
+        offs = sorted(planes.keys())
+        stages.append(DiaMatrix(
+            data=jnp.stack([planes[o] for o in offs]),
+            offsets=tuple(offs), dims=dims,
+        ))
+
+    Pt = stages[0]
+    keep1 = lambda o: max(abs(v) for v in o) <= 1
+    for Ps in stages[1:]:
+        Pt = dia_filter_offsets(dia_mult(Ps, Pt, keep=keep1), keep1)
+    return Pt
+
+
+def _compact_dia_full(Ae: DiaMatrix) -> DiaMatrix:
+    """Restrict an all-even-supported embedded operator to the full-coarse
+    grid (compact every dimension)."""
+    out = Ae
+    for d in range(len(Ae.dims)):
+        out = _compact_dia(out, d)
+    return out
+
+
+def _compact_full(v: jax.Array, dims: Vec) -> jax.Array:
+    sl = tuple(slice(None, None, 2) for _ in dims)
+    return v.reshape(dims)[sl].reshape(-1)
+
+
+def _expand_full(vc: jax.Array, dims: Vec) -> jax.Array:
+    sl = tuple(slice(None, None, 2) for _ in dims)
+    cd = tuple((d + 1) // 2 for d in dims)
+    out = jnp.zeros(dims, vc.dtype)
+    return out.at[sl].set(vc.reshape(cd)).reshape(-1)
+
+
+FULL_STEP = -2  # plan marker: coarsen every dimension at once
+
+
 def _compact_dia(Ae: DiaMatrix, d: int) -> DiaMatrix:
     """Restrict an embedded C-row/C-col operator to the coarse grid."""
     dims = Ae.dims
@@ -220,7 +321,8 @@ def _choose_dim(A: DiaMatrix, policy: str) -> int:
 
 
 def plan_coarsening(
-    A: DiaMatrix, config: AmgConfig, dim_policy: str = "operator"
+    A: DiaMatrix, config: AmgConfig, dim_policy: str = "operator",
+    allow_full: bool | None = None,
 ) -> Tuple[int, ...]:
     """Static coarsening plan (sequence of dims), so the whole setup can run
     under ONE jit (BASELINE.json:5 "setup ... end-to-end under jit").
@@ -229,6 +331,8 @@ def plan_coarsening(
     coupling strengths once, then evolves them with the standard
     semicoarsening model (coarsening dim d scales its coupling by 1/4 —
     h_d doubles)."""
+    if allow_full is None:
+        allow_full = config.full_coarsening
     dims = list(A.dims)
     nd = len(dims)
     if dim_policy == "operator":
@@ -254,11 +358,25 @@ def plan_coarsening(
         and n > config.coarse_size
         and max(dims) > 3
     ):
-        cand = [s[ax] if dims[ax] > 3 else -1.0 for ax in range(nd)]
-        d = int(np.argmax(cand))
-        plan.append(d)
-        dims[d] = (dims[d] + 1) // 2
-        s[d] /= 4.0
+        live = [ax for ax in range(nd) if dims[ax] > 3]
+        s_live = [s[ax] for ax in live]
+        balanced = (
+            allow_full
+            and len(live) == nd
+            and max(s_live) <= 4.0 * max(min(s_live), 1e-30)
+        )
+        if balanced:
+            # full coarsening: all dims at once (BoxMG staged interpolation)
+            plan.append(FULL_STEP)
+            for ax in range(nd):
+                dims[ax] = (dims[ax] + 1) // 2
+                s[ax] /= 4.0
+        else:
+            cand = [s[ax] if dims[ax] > 3 else -1.0 for ax in range(nd)]
+            d = int(np.argmax(cand))
+            plan.append(d)
+            dims[d] = (dims[d] + 1) // 2
+            s[d] /= 4.0
         n = int(np.prod(dims))
     return tuple(plan)
 
@@ -273,10 +391,17 @@ def _build_hierarchy_planned(
     needs host syncs — off under jit."""
     levels = []
     for d in plan:
-        Pt = _build_transfer(A, d)
-        Rt = dia_transpose(Pt)
-        Ae = dia_mult(Rt, dia_mult(A, Pt))
-        Ac = _compact_dia(Ae, d)
+        if d == FULL_STEP:
+            Pt = _build_transfer_full(A)
+            Rt = dia_transpose(Pt)
+            keep_even = lambda o: all(v % 2 == 0 for v in o)
+            Ae = dia_mult(Rt, dia_mult(A, Pt), keep=keep_even)
+            Ac = _compact_dia_full(Ae)
+        else:
+            Pt = _build_transfer(A, d)
+            Rt = dia_transpose(Pt)
+            Ae = dia_mult(Rt, dia_mult(A, Pt))
+            Ac = _compact_dia(Ae, d)
         if prune:
             Ac = dia_prune(Ac, tol=1e-12)
         dinv = 1.0 / jnp.where(jnp.abs(A.diagonal()) > 0, A.diagonal(), 1.0)
@@ -407,12 +532,16 @@ def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
         return hier.coarse_inv @ b
     x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
     r = b - dia_spmv(lev.A, x)
-    rc = _compact(dia_spmv(lev.Rt, r), lev.dims, lev.cdim)
+    rr = dia_spmv(lev.Rt, r)
+    rc = (_compact_full(rr, lev.dims) if lev.cdim == FULL_STEP
+          else _compact(rr, lev.dims, lev.cdim))
     ec = _slevel(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         Ac = hier.levels[k + 1].A
         ec = ec + _slevel(hier, cfg, k + 1, rc - dia_spmv(Ac, ec))
-    x = x + dia_spmv(lev.Pt, _expand(ec, lev.dims, lev.cdim))
+    e = (_expand_full(ec, lev.dims) if lev.cdim == FULL_STEP
+         else _expand(ec, lev.dims, lev.cdim))
+    x = x + dia_spmv(lev.Pt, e)
     x = _smooth(lev, cfg, b, x, backward=True)
     return x
 

@@ -125,3 +125,39 @@ def test_structured_wcycle():
         else:
             it_w = int(info.iterations)
     assert it_w <= it_v
+
+
+def test_full_coarsening_2d():
+    """Opt-in BoxMG-style full coarsening: fewer levels, same convergence
+    class (2D keeps the CI compile cheap; 3D is exercised by bench)."""
+    from raptor_tpu.structured import (
+        build_structured_hierarchy,
+        dia_from_stencil,
+        plan_coarsening,
+        structured_solve,
+    )
+
+    A = dia_from_stencil(ST5, (64, 64), dtype=np.float64)
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=32,
+                    max_levels=30, full_coarsening=True)
+    plan = plan_coarsening(A, cfg, "operator")
+    assert -2 in plan  # full steps taken on the isotropic problem
+    hier = build_structured_hierarchy(A, cfg, "operator")
+    assert len(hier.levels) <= 5  # semicoarsening needs 8
+    b = default_rhs(A.n, dtype=np.float64)
+    x, info = structured_solve(hier, jnp.asarray(b), tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    assert int(info.iterations) <= 9
+    ref = stencil_grid(ST5, (64, 64))
+    tr = np.linalg.norm(ref @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert tr <= 1e-7
+
+
+def test_full_coarsening_skipped_for_anisotropy():
+    from raptor_tpu.structured import dia_from_stencil, plan_coarsening
+
+    A = dia_from_stencil(diffusion_stencil_2d(1e-3, 0.0), (64, 64),
+                         dtype=np.float64)
+    cfg = AmgConfig(full_coarsening=True)
+    plan = plan_coarsening(A, cfg, "operator")
+    assert plan[0] == 0 and -2 not in plan[:3]  # semicoarsens the strong dim
