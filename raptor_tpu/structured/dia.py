@@ -53,7 +53,7 @@ def _linear(off: Vec, dims: Vec) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "dims"],
+    meta_fields=["offsets", "dims", "const_planes"],
 )
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
@@ -63,11 +63,17 @@ class DiaMatrix:
              Boundary-truncated: zero wherever ``i + off_k`` leaves the grid.
     offsets: static tuple of integer grid-offset vectors.
     dims:    static grid dims, last dim fastest.
+    const_planes: optional static tuple; entry k a float when diagonal k is
+             exactly ``scalar * boundary_mask`` (constant-coefficient
+             stencils from the generators).  SpMV then synthesizes the plane
+             from an iota mask instead of reading it — the fine-level
+             operator costs no HBM traffic beyond x itself.
     """
 
     data: jax.Array
     offsets: Tuple[Vec, ...]
     dims: Vec
+    const_planes: Tuple | None = None
 
     @property
     def n(self) -> int:
@@ -137,7 +143,12 @@ def dia_from_stencil(stencil: np.ndarray, dims: Vec, dtype=jnp.float32) -> DiaMa
         offs.append(off)
         planes.append(np.where(boundary_mask(dims, off), v, 0.0))
     data = np.stack(planes).astype(np.dtype(dtype) if not isinstance(dtype, np.dtype) else dtype)
-    return DiaMatrix(data=jnp.asarray(data), offsets=tuple(offs), dims=dims)
+    # constant-coefficient by construction: record the scalars so SpMV can
+    # synthesize the planes (dtype-rounded so both paths match bit-exactly)
+    consts = tuple(float(np.asarray(stencil[idx], data.dtype))
+                   for idx in np.ndindex(*stencil.shape) if stencil[idx] != 0.0)
+    return DiaMatrix(data=jnp.asarray(data), offsets=tuple(offs), dims=dims,
+                     const_planes=consts)
 
 
 def dia_from_scipy(a, dims: Vec, dtype=jnp.float32, tol: float = 0.0) -> DiaMatrix:
@@ -195,6 +206,8 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x via shifted reads: y_i = sum_k data[k,i] * x[i + off_k].
 
     Wrap-around reads are annihilated by the boundary-zeroed diagonals.
+    Constant diagonals (const_planes) are synthesized from iota masks —
+    compute instead of HBM traffic.
     """
     lins = A.linear_offsets()
     if (USE_PALLAS and A.n_off >= PALLAS_MIN_OFFSETS and A.n % 128 == 0
@@ -208,8 +221,16 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
         except Exception:
             pass  # fall through to the XLA roll path
     y = None
+    cp = A.const_planes
     for k, o in enumerate(lins):
-        term = A.data[k] * (x if o == 0 else jnp.roll(x, -o))
+        shifted = x if o == 0 else jnp.roll(x, -o)
+        if cp is not None and cp[k] is not None:
+            c = jnp.asarray(cp[k], x.dtype)
+            plane = jnp.where(boundary_mask_traced(A.dims, A.offsets[k]),
+                              c, jnp.asarray(0, x.dtype))
+        else:
+            plane = A.data[k]
+        term = plane * shifted
         y = term if y is None else y + term
     return y
 

@@ -132,6 +132,8 @@ def distribute_structured(
     assert 1 <= t < len(plan) + 1
     hier = _build_hierarchy_planned(A, config, plan)
 
+    strip = lambda m: None if m is None else dataclasses.replace(
+        m, const_planes=None)  # keep dist pytree metadata uniform
     dlevels = []
     for k in range(t):
         lev = hier.levels[k]
@@ -139,15 +141,18 @@ def distribute_structured(
         dims_local = (d0l,) + lev.dims[1:]
         dlevels.append(
             SDistLevel(
-                A=lev.A, Pt=lev.Pt, Rt=lev.Rt, dinv=lev.dinv,
-                red=lev.red, cheb_lmax=lev.cheb_lmax,
+                A=strip(lev.A), Pt=strip(lev.Pt), Rt=strip(lev.Rt),
+                dinv=lev.dinv, red=lev.red, cheb_lmax=lev.cheb_lmax,
                 dims_local=dims_local, cdim=lev.cdim,
             )
         )
-    tail = SHierarchy(
-        levels=hier.levels[t:], coarse_inv=hier.coarse_inv,
-        config=config,
+    tail_levels = tuple(
+        dataclasses.replace(lv, A=strip(lv.A), Pt=strip(lv.Pt),
+                            Rt=strip(lv.Rt))
+        for lv in hier.levels[t:]
     )
+    tail = SHierarchy(levels=tail_levels, coarse_inv=hier.coarse_inv,
+                      config=config)
     return SDistHierarchy(levels=tuple(dlevels), tail=tail,
                           config=config, ndev=ndev)
 

@@ -17,6 +17,8 @@ single-device routines inside the same traced program.
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Tuple
 
 import jax
@@ -200,6 +202,7 @@ def sdist_build_hierarchy(
     the same program.  Returns the same SDistHierarchy the solve consumes.
     """
     ndev = mesh.devices.size
+    A = dataclasses.replace(A, const_planes=None)  # uniform pytree metadata
     assert A.dims[0] % ndev == 0
     plan, t = plan_coarsening_dist(A, config, ndev, dim_policy, tail_size)
     dims_global = A.dims
