@@ -34,24 +34,39 @@ def _problem(name: str, n: int):
     raise SystemExit(f"unknown problem: {name}")
 
 
+# preset -> (gallery problem, default n); the AmgConfig itself always comes
+# from the canonical raptor_tpu.config.PRESETS so the CLI can never bench a
+# different configuration than the library ships (BASELINE.json:7-11)
 PRESET_PROBLEMS = {
-    # BASELINE.json:7-11
-    "config1": ("poisson2d", 64, dict(splitting="rs", smoother="jacobi")),
-    "config2": ("poisson3d", 32, dict(splitting="pmis", smoother="mcgs")),
-    "config3": ("anisotropic", 64, dict(splitting="pmis", theta=0.35,
-                                        smoother="jacobi")),
-    "config4": ("elasticity", 8, dict(splitting="aggregation",
-                                      interp="smoothed", smoother="chebyshev",
-                                      num_candidates=6, theta=0.16)),
-    "config5": ("poisson3d", 256, dict(splitting="pmis", smoother="mcgs")),
+    "config1": ("poisson2d", 64),
+    "config2": ("poisson3d", 32),
+    "config3": ("anisotropic", 64),
+    "config4": ("elasticity", 8),
+    "config5": ("poisson3d", 256),
 }
 
 
 def cmd_solve(args):
+    import jax
     import jax.numpy as jnp
 
     from raptor_tpu import AmgConfig, SolveConfig, solve
     from raptor_tpu.gallery import default_rhs
+
+    if args.fp64:
+        # a user asking for an fp64 solve must actually get fp64 — without
+        # x64 enabled jnp.float64 silently downgrades to fp32 and a tol=1e-8
+        # solve stalls at maxiter (ADVICE r1)
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() in ("tpu", "axon"):
+            # fp64 is not hardware-supported on TPU (observed: the XLA TPU
+            # compiler can crash outright on f64 AMG programs).  The TPU way
+            # to certify 1e-8 is the default df64 on-device refinement.
+            raise SystemExit(
+                "--fp64 is not supported on TPU backends; run on CPU "
+                "(JAX_PLATFORMS=cpu) or drop --fp64 — the default solve "
+                "certifies 1e-8 via on-device double-float32 refinement.")
 
     A, B, dims = _problem(args.problem, args.n)
     b = default_rhs(A.shape[0])
@@ -100,12 +115,14 @@ def cmd_bench(args):
     import jax
     import jax.numpy as jnp
 
-    from raptor_tpu import AmgConfig, SolveConfig, solve, setup
+    from raptor_tpu import setup
     from raptor_tpu.api import solve_hier
     from raptor_tpu.core import pad_vector
     from raptor_tpu.gallery import default_rhs
 
-    name, n, cfg_kw = PRESET_PROBLEMS[args.preset]
+    from raptor_tpu.config import PRESETS
+
+    name, n = PRESET_PROBLEMS[args.preset]
     n = args.n or n
 
     if args.preset == "config5":
@@ -116,7 +133,7 @@ def cmd_bench(args):
 
     A, B, dims = _problem(name, n)
     b = default_rhs(A.shape[0])
-    cfg = AmgConfig(**cfg_kw)
+    cfg = PRESETS[args.preset]
 
     t0 = time.perf_counter()
     if B is not None:
@@ -210,6 +227,15 @@ def cmd_info(args):
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even when a site hook pre-forces a platform list
+        # (observed in images that inject jax_platforms="axon,cpu")
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser(prog="raptor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

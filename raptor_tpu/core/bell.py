@@ -1,6 +1,8 @@
 """Blocked-ELL sparse matrix: dense b x b blocks (SURVEY.md §2b C3).
 
-Capability reproduced: RAPtor's ``BSRMatrix/BCOOMatrix`` — BASELINE.json:5
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``BSRMatrix/BCOOMatrix`` — BASELINE.json:5
 "CSR/BSR matrices become padded ELL/blocked-sparse layouts sized for the
 MXU", BASELINE.json:10 (3x3 blocks for elasticity).
 

@@ -1,6 +1,8 @@
 """Padded-ELL sparse matrix, the device-resident workhorse format.
 
-Capability reproduced: the reference AMG stack's CSR/COO containers (RAPtor's
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): the reference AMG stack's CSR/COO containers (RAPtor's
 ``CSRMatrix``/``COOMatrix``; see SURVEY.md §2b C2 and BASELINE.json:5 — "CSR/BSR
 matrices become padded ELL/blocked-sparse layouts sized for the MXU").
 

@@ -1,6 +1,8 @@
 """Problem gallery: generators for the acceptance configurations.
 
-Capability reproduced: the reference AMG stack's ``gallery/`` (RAPtor's
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): the reference AMG stack's ``gallery/`` (RAPtor's
 diffusion/laplacian27pt/par_stencil generators; SURVEY.md §2b C18).  The five
 driver configs (BASELINE.json:7-11) need: 2D 5-pt Poisson, 3D 7-pt Poisson,
 2D rotated anisotropic 9-pt diffusion, 3D 27-pt linear elasticity with 3x3

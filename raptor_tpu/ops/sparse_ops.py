@@ -1,6 +1,8 @@
 """Core sparse linear algebra on padded-ELL matrices, all jit-traceable.
 
-Capability reproduced: the reference AMG stack's SpMV (`mult()/residual()`)
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): the reference AMG stack's SpMV (`mult()/residual()`)
 and SpGEMM / Galerkin RAP triple product (SURVEY.md §2b C5/C6;
 BASELINE.json:5 — "SpMV and the Galerkin RAP triple-product SpGEMM are Pallas
 kernels using gather/segment_sum instead of indirect CPU addressing").

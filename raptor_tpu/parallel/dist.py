@@ -1,6 +1,8 @@
 """Distributed AMG: sharded hierarchy + shard_map solve (SURVEY.md §2b C19).
 
-Capability reproduced: RAPtor's MPI-distributed everything — here via a
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's MPI-distributed everything — here via a
 ``jax.sharding.Mesh`` with one ICI axis, ``shard_map``-wrapped solves,
 ``ppermute`` halo exchange (raptor_tpu.parallel.halo) and ``psum`` dots
 (BASELINE.json:5,11 — config 5).

@@ -1,7 +1,9 @@
 """Halo exchange execution over the ICI mesh axis (SURVEY.md §2b C7, §3b
 stack 5).
 
-Capability reproduced: RAPtor's ``ParComm`` (MPI Isend/Irecv);
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``ParComm`` (MPI Isend/Irecv);
 BASELINE.json:5 — "node-aware TAPS communication maps to jax.lax.ppermute
 halo exchange over ICI".
 

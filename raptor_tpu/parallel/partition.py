@@ -1,6 +1,8 @@
 """Row partitioning and halo-exchange plan construction (SURVEY.md §2b C1/C7).
 
-Capability reproduced: RAPtor's ``Partition``/``Topology`` and ``ParComm``
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``Partition``/``Topology`` and ``ParComm``
 communication-package construction.  Plans are precomputed on host at setup
 from the partition + off-process column sets, then baked as static index
 arrays into the jitted solve — "comm-package construction is separated from

@@ -1,6 +1,8 @@
 """TAPS-style two-level aggregated halo exchange (SURVEY.md §2b C8).
 
-Capability reproduced: RAPtor's ``TAPComm`` 3-step node-aware communication
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``TAPComm`` 3-step node-aware communication
 (BASELINE.json:5 — "node-aware TAPS communication maps to jax.lax.ppermute
 halo exchange over ICI").  The original trades many small inter-node
 messages for one aggregated message routed through a designated on-node

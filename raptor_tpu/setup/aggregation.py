@@ -1,6 +1,8 @@
 """Smoothed-aggregation AMG setup (SURVEY.md §2b C13).
 
-Capability reproduced: RAPtor's ``aggregation/par_*`` (mis.cpp,
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``aggregation/par_*`` (mis.cpp,
 aggregate.cpp, candidates.cpp, prolongation.cpp); BASELINE.json:5
 "smoothed-aggregation setup phases run end-to-end under jit",
 BASELINE.json:10 config 4 (3D elasticity, 3x3 blocks, rigid-body-mode

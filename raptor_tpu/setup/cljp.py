@@ -1,6 +1,8 @@
 """CLJP parallel classical coarsening, jit-traceable (SURVEY.md §2b C11).
 
-Capability reproduced: RAPtor's CLJP splitting (``par_splitting.cpp``;
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's CLJP splitting (``par_splitting.cpp``;
 BASELINE.json:5 "classical (Ruge-Stuben/PMIS/CLJP)").
 
 Cleary-Luby-Jones-Plassmann: weights w_i = |S_i^T| + rand; each round
@@ -32,7 +34,12 @@ import jax
 import jax.numpy as jnp
 
 from raptor_tpu.core.ell import EllMatrix
-from raptor_tpu.setup.splitting import C_PT, F_PT, UNDECIDED
+from raptor_tpu.setup.splitting import (
+    C_PT,
+    F_PT,
+    UNDECIDED,
+    splitting_weights,
+)
 from raptor_tpu.setup.strength import strong_transpose_counts
 
 __all__ = ["cljp_splitting"]
@@ -45,7 +52,6 @@ def cljp_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
     K = A.K
     row = A.row_index()
     lam0 = strong_transpose_counts(A, smask)
-    w0 = jnp.minimum(lam0, 63) * jnp.int32(n) + perm
     ones_kn = jnp.ones((K, n), jnp.int32)
 
     def scatter_count(mask):
@@ -56,19 +62,22 @@ def cljp_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
         )
 
     def body(state):
-        cf, w, edges, it = state
+        cf, lam, edges, it = state
 
-        # 0. weight below 1 (no remaining dependents) -> F
-        lam_now = w // jnp.int32(n)
-        cf = jnp.where((cf == UNDECIDED) & (lam_now <= 0), F_PT, cf)
+        # 0. no remaining dependents -> F.  lam is tracked UNCLAMPED so a
+        # node with >63 strong dependents is not forced F prematurely when
+        # edges are removed (ADVICE r1); the clamp applies only inside the
+        # weight encoding below.
+        cf = jnp.where((cf == UNDECIDED) & (lam <= 0), F_PT, cf)
         und = cf == UNDECIDED
+        w = splitting_weights(lam, perm, n)
 
         # 1. independent set of local maxima over active edges (both dirs)
         w_und = jnp.where(und, w, -1)
         row_part = jnp.max(jnp.where(edges, jnp.take(w_und, A.cols), -1), axis=0)
         edge_w = jnp.where(edges, jnp.take(w_und, row), -1)
         col_part = (
-            jnp.full(n, -1, jnp.int32)
+            jnp.full(n, -1, w.dtype)
             .at[jnp.where(edges, A.cols, n)]
             .max(edge_w, mode="drop")
         )
@@ -107,17 +116,17 @@ def cljp_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
         )
         dec = dec + scatter_count(h2)
 
-        w = w - dec * jnp.int32(n)
+        lam = lam - dec
         edges = edges & ~h1 & ~to_c & ~h2
-        return cf, w, edges, it + 1
+        return cf, lam, edges, it + 1
 
     def cond(state):
-        cf, w, edges, it = state
+        cf, lam, edges, it = state
         return jnp.any(cf == UNDECIDED) & (it < 500)
 
-    cf, w, edges, _ = jax.lax.while_loop(
+    cf, _lam, edges, _ = jax.lax.while_loop(
         cond,
         body,
-        (jnp.full(n, UNDECIDED, jnp.int32), w0, smask, jnp.int32(0)),
+        (jnp.full(n, UNDECIDED, jnp.int32), lam0, smask, jnp.int32(0)),
     )
     return jnp.where(cf == UNDECIDED, F_PT, cf)

@@ -1,6 +1,8 @@
 """AMG hierarchy construction (SURVEY.md §2b C14, §3b stack 2).
 
-Capability reproduced: RAPtor's ``multilevel/par_multilevel.hpp`` setup loop.
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``multilevel/par_multilevel.hpp`` setup loop.
 
 The level loop runs on host (shapes shrink per level, so each level body is
 a separately-jitted static-shape program — SURVEY.md §3b: "Levels loop runs

@@ -1,6 +1,8 @@
 """Interpolation operators, jit-traceable (SURVEY.md §2b C12).
 
-Capability reproduced: RAPtor's ``interpolation.cpp`` (direct + modified
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``interpolation.cpp`` (direct + modified
 classical interpolation; BASELINE.json:5 "interpolation").
 
 Direct interpolation with ±-splitting (matches the oracle,

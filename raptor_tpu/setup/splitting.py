@@ -1,6 +1,8 @@
 """C/F splittings: jitted PMIS (parallel) and host serial Ruge-Stüben.
 
-Capability reproduced: RAPtor's ``splitting.cpp`` / ``par_splitting.cpp``
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``splitting.cpp`` / ``par_splitting.cpp``
 (SURVEY.md §2b C10/C11; BASELINE.json:5 "classical (Ruge-Stuben/PMIS/CLJP)";
 BASELINE.json:8 PMIS for config 2).
 
@@ -10,9 +12,10 @@ strong edges — each round is O(nnz) vector work, the trip count is the
 data-dependent MIS depth (O(log n) w.h.p.) under a bounded
 ``lax.while_loop`` (SURVEY.md §7 hard part 2).
 
-Weights are exact int32: w_i = min(lambda_i, 63) * n_pad + perm_i with a
+Weights are exact integers: w_i = min(lambda_i, 63) * n_pad + perm_i with a
 host-supplied random permutation, reproducing the oracle's total order
 (tests/oracle/amg_oracle.py::pmis_weights) with no floating-point ties.
+int32 up to ~33.5M rows, int64 beyond (see ``splitting_weights``).
 """
 
 from __future__ import annotations
@@ -26,9 +29,31 @@ from raptor_tpu.core.ell import EllMatrix
 from raptor_tpu.setup.strength import strong_transpose_counts
 
 __all__ = ["UNDECIDED", "C_PT", "F_PT", "pmis_splitting", "rs_splitting_host",
-           "make_perm"]
+           "make_perm", "splitting_weights"]
 
 UNDECIDED, C_PT, F_PT = 0, 1, 2
+
+# w = min(lam, 63) * n_pad + perm stays exact in int32 only while
+# 64 * n_pad < 2^31; beyond that the total order silently corrupts
+_MAX_INT32_ROWS = (2**31) // 64
+
+
+def splitting_weights(lam: jax.Array, perm: jax.Array, n_pad: int) -> jax.Array:
+    """Exact total-order MIS weights ``min(lam,63)*n_pad + perm``.
+
+    Switches to int64 above ~33.5M rows instead of silently overflowing
+    int32 (ADVICE r1); int64 needs jax_enable_x64, so raise clearly when
+    it is off rather than letting jnp downcast.
+    """
+    if n_pad <= _MAX_INT32_ROWS:
+        return (jnp.minimum(lam, 63).astype(jnp.int32) * jnp.int32(n_pad)
+                + perm.astype(jnp.int32))
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"PMIS/CLJP weight encoding needs int64 for n_pad={n_pad} "
+            f"(> {_MAX_INT32_ROWS}); enable jax_enable_x64")
+    return (jnp.minimum(lam, 63).astype(jnp.int64) * jnp.int64(n_pad)
+            + perm.astype(jnp.int64))
 
 
 def make_perm(n: int, n_pad: int, seed: int = 0) -> jax.Array:
@@ -45,7 +70,7 @@ def pmis_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
     """PMIS C/F splitting. Returns (n_pad,) int32 in {C_PT, F_PT}."""
     n = A.n_rows_pad
     lam = strong_transpose_counts(A, smask)
-    w = jnp.minimum(lam, 63) * jnp.int32(n) + perm
+    w = splitting_weights(lam, perm, n)
 
     row = A.row_index()
     tgt = jnp.where(smask, A.cols, n)  # scatter target per strong edge
@@ -61,7 +86,7 @@ def pmis_splitting(A: EllMatrix, smask: jax.Array, perm: jax.Array) -> jax.Array
         # max undecided-neighbor weight over S_i (deps) and S^T_i (dependents)
         row_part = jnp.max(jnp.where(smask, jnp.take(w_und, A.cols), -1), axis=0)
         edge_w = jnp.where(smask, jnp.take(w_und, row), -1)
-        col_part = jnp.full(n, -1, jnp.int32).at[tgt].max(edge_w, mode="drop")
+        col_part = jnp.full(n, -1, w.dtype).at[tgt].max(edge_w, mode="drop")
         nmax = jnp.maximum(row_part, col_part)
         cf = jnp.where(und & (w > nmax), C_PT, cf)
         # neighbors of C become F

@@ -1,6 +1,8 @@
 """Strength of connection, jit-traceable (SURVEY.md §2b C9).
 
-Capability reproduced: the reference stack's classical strength graph
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): the reference stack's classical strength graph
 (RAPtor ``strength.cpp``; BASELINE.json:5 "strength graph ... under jit",
 BASELINE.json:9 "strength-of-connection filtering" for anisotropy).
 

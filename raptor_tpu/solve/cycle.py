@@ -1,6 +1,8 @@
 """Multigrid cycles (SURVEY.md §2b C16, §3b stack 3).
 
-Capability reproduced: RAPtor's ``par_multilevel`` cycle().
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``par_multilevel`` cycle().
 
 The level count is static after setup, so V-/W-cycles are unrolled over
 levels at trace time — one jitted program, fully on device, no host

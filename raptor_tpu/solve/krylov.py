@@ -1,6 +1,8 @@
 """Krylov solvers: preconditioned CG and BiCGStab (SURVEY.md §2b C17).
 
-Capability reproduced: RAPtor's ``krylov/par_cg.cpp`` / ``par_bicgstab.cpp``.
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``krylov/par_cg.cpp`` / ``par_bicgstab.cpp``.
 
 Both run as a single ``lax.while_loop`` with on-device convergence checks —
 "no host round-trips per iteration" (BASELINE.json:5).  Per-iteration

@@ -1,6 +1,8 @@
 """Smoothers: weighted Jacobi, multicolor (red-black) Gauss-Seidel, Chebyshev.
 
-Capability reproduced: RAPtor's ``relax.cpp`` (jacobi / sor / gauss-seidel;
+Capability target (SURVEY.md §0 — the public RAPtor AMG
+library named by BASELINE.json:5, not the mounted reference; convergence
+spec = tests/oracle/amg_oracle.py): RAPtor's ``relax.cpp`` (jacobi / sor / gauss-seidel;
 SURVEY.md §2b C15).  BASELINE.json:5 prescribes the parallel recast: "hybrid
 Gauss-Seidel recast as red-black/Chebyshev for parallelism" — sequential GS
 sweeps become (a) multicolor sweeps (one masked Jacobi-like update per color,
