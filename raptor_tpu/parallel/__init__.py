@@ -12,8 +12,18 @@ from raptor_tpu.parallel.dist import (
     dist_solve,
     make_solve_mesh,
 )
+from raptor_tpu.parallel.dist_taps import (
+    TapsDistHierarchy,
+    distribute_hierarchy_taps,
+    dist_solve_taps,
+    make_taps_mesh,
+)
 
 __all__ = [
+    "TapsDistHierarchy",
+    "distribute_hierarchy_taps",
+    "dist_solve_taps",
+    "make_taps_mesh",
     "HaloPlan",
     "DistMatrix",
     "distribute_matrix",

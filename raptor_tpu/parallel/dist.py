@@ -183,14 +183,34 @@ def distribute_hierarchy(
 # Distributed smoothers / cycle / solve (all called inside shard_map)
 # ---------------------------------------------------------------------------
 
-def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool):
+class CommCtx:
+    """Pluggable communication for the distributed cycle: the flat 1D-mesh
+    ring exchange and the TAPS 2D-mesh exchange (parallel.dist_taps) share
+    the cycle/smoother code through this seam."""
+
+    def __init__(self, sp, axes, shard_index):
+        self.sp = sp  # sp(level_slot, DistMatrix, x_own) -> y_own
+        self.axes = axes  # axis name(s) for all_gather/psum
+        self.shard_index = shard_index  # () -> global shard index
+
+    @staticmethod
+    def flat():
+        return CommCtx(
+            sp=lambda slot, dm, x: dist_spmv(dm, x, AXIS),
+            axes=AXIS,
+            shard_index=lambda: jax.lax.axis_index(AXIS),
+        )
+
+
+def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
+                 sp):
     sweeps = cfg.nu2 if backward else cfg.nu1
     smoother = cfg.smoother
     if sweeps == 0:
         return x
     if smoother == "jacobi":
         for _ in range(sweeps):
-            x = x + cfg.omega * lev.dinv * (b - dist_spmv(lev.A, x, AXIS))
+            x = x + cfg.omega * lev.dinv * (b - sp(x))
         return x
     if smoother == "mcgs":
         order = list(range(lev.ncolors))
@@ -198,7 +218,7 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool):
             order.reverse()
         for _ in range(sweeps):
             for c in order:
-                r = b - dist_spmv(lev.A, x, AXIS)
+                r = b - sp(x)
                 x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
         return x
     if smoother == "chebyshev":
@@ -209,7 +229,7 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool):
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(d)
         for i in range(cfg.cheb_degree):
-            z = lev.dinv * (b - dist_spmv(lev.A, x, AXIS))
+            z = lev.dinv * (b - sp(x))
             if i == 0:
                 p, alpha = z, 1.0 / d
             else:
@@ -218,35 +238,55 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool):
                 p = z + beta * p
             x = x + alpha * p
         return x
+    if smoother == "cheb4":  # 4th-kind Chebyshev, mirrors smoothers.chebyshev4
+        r = b - sp(x)
+        d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
+        x = x + d
+        for k in range(2, cfg.cheb_degree + 1):
+            r = r - sp(d)
+            d = ((2 * k - 3) / (2 * k + 1)) * d + (
+                (8 * k - 4) / (2 * k + 1) / lev.cheb_lmax
+            ) * (lev.dinv * r)
+            x = x + d
+        return x
     raise ValueError(f"unknown smoother: {smoother}")
 
 
-def _dist_level_solve(dh: DistHierarchy, k: int, b):
+def _dist_level_solve(dh: DistHierarchy, k: int, b, ctx: CommCtx):
     """Distributed V-cycle at sharded level k (b is the owned shard)."""
     cfg = dh.config
     lev = dh.levels[k]
-    x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
-    r = b - dist_spmv(lev.A, x, AXIS)
+    spA = lambda v: ctx.sp(("A", k), lev.A, v)
+    x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False, sp=spA)
+    r = b - spA(x)
     if k + 1 < len(dh.levels):
-        rc = dist_spmv(lev.Rmat, r, AXIS)
-        ec = _dist_level_solve(dh, k + 1, rc)
-        x = x + dist_spmv(lev.Pmat, ec, AXIS)
+        rc = ctx.sp(("R", k), lev.Rmat, r)
+        ec = _dist_level_solve(dh, k + 1, rc, ctx)
+        if cfg.cycle == "W":
+            # second coarse visit (gamma=2); a sharded level always has the
+            # tail below it, so the single-device k+1 < nlev-1 guard holds
+            rc2 = rc - ctx.sp(("A", k + 1), dh.levels[k + 1].A, ec)
+            ec = ec + _dist_level_solve(dh, k + 1, rc2, ctx)
+        x = x + ctx.sp(("P", k), lev.Pmat, ec)
     else:
         # bridge to the replicated (agglomerated) tail
-        r_glob = jax.lax.all_gather(r, AXIS, tiled=True)
+        r_glob = jax.lax.all_gather(r, ctx.axes, tiled=True)
         rc = spmv(dh.bridge_R, r_glob[: dh.bridge_R.n_cols_pad])
         ec = _tail_cycle(dh.tail, cfg, 0, rc)
+        if cfg.cycle == "W" and len(dh.tail.levels) > 1:
+            rc2 = rc - spmv(dh.tail.levels[0].A, ec)
+            ec = ec + _tail_cycle(dh.tail, cfg, 0, rc2)
         corr = spmv(dh.bridge_P, ec)
-        me = jax.lax.axis_index(AXIS)
+        me = ctx.shard_index()
         x = x + jax.lax.dynamic_slice(
             corr, (me * lev.n_local,), (lev.n_local,)
         )
-    x = _dist_smooth(lev, cfg, b, x, backward=True)
+    x = _dist_smooth(lev, cfg, b, x, backward=True, sp=spA)
     return x
 
 
-def _dist_cycle(dh: DistHierarchy, b):
-    return _dist_level_solve(dh, 0, b)
+def _dist_cycle(dh: DistHierarchy, b, ctx: CommCtx | None = None):
+    return _dist_level_solve(dh, 0, b, ctx or CommCtx.flat())
 
 
 def make_solve_mesh(ndev: int | None = None) -> Mesh:

@@ -66,20 +66,28 @@ class TapsPlan:
     n_chips: int
 
 
-def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
-    """Two-level plan from a global square ELL row-partitioned over
-    n_nodes*n_chips contiguous blocks.  Returns (TapsPlan, remapped cols)
-    compatible with DistMatrix's extended-vector convention."""
+def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int,
+                    n_col_owned: int | None = None):
+    """Two-level plan from a global ELL row-partitioned over n_nodes*n_chips
+    contiguous blocks.  Returns (TapsPlan, remapped cols) compatible with
+    DistMatrix's extended-vector convention (same sorted-unique ghost order,
+    so the remapped cols are interchangeable with ``distribute_matrix``'s).
+
+    ``n_col_owned``: owned-column count per device for rectangular transfer
+    operators (defaults to the per-device row count for square operators).
+    """
     ndev = n_nodes * n_chips
     n_rows = E.n_rows_pad
     assert n_rows % ndev == 0
     nl = n_rows // ndev
+    nc_own = n_col_owned if n_col_owned is not None else nl
+    assert E.n_cols_pad == nc_own * ndev, (E.n_cols_pad, nc_own, ndev)
 
     cols = np.asarray(E.cols)
     nnz = np.asarray(E.row_nnz)
     K = E.K
     mask = np.arange(K)[:, None] < nnz[None, :]
-    owner = cols // nl
+    owner = cols // nc_own
     shard_of_row = np.repeat(np.arange(ndev), nl)[None, :]
 
     ghosts = []
@@ -87,7 +95,7 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
         sel = mask & (shard_of_row == p) & (owner != p)
         ghosts.append(np.unique(cols[sel]))
     n_halo = max((g.size for g in ghosts), default=0)
-    n_ext = nl + n_halo + 1
+    n_ext = nc_own + n_halo + 1
 
     new_cols = np.zeros_like(cols)
     for p in range(ndev):
@@ -95,8 +103,8 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
         m = mask[:, p * nl:(p + 1) * nl]
         gpos = np.searchsorted(ghosts[p], c)
         gpos = np.clip(gpos, 0, max(ghosts[p].size - 1, 0))
-        is_ghost = (c // nl) != p
-        mapped = np.where(is_ghost, nl + gpos, c - p * nl)
+        is_ghost = (c // nc_own) != p
+        mapped = np.where(is_ghost, nc_own + gpos, c - p * nc_own)
         new_cols[:, p * nl:(p + 1) * nl] = np.where(m, mapped, 0)
 
     node_of = lambda p: p // n_chips
@@ -110,7 +118,7 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
             need = np.unique(np.concatenate(
                 [ghosts[dstN * n_chips + c] for c in range(n_chips)]
             )) if n_chips else np.zeros(0, np.int64)
-            need = need[(need // (nl * n_chips)) == Nn]  # owned by node Nn
+            need = need[(need // (nc_own * n_chips)) == Nn]  # owned by node Nn
             agg[Nn] = need
         m_total = max(v.size for v in agg.values())
         if m_total == 0:
@@ -129,7 +137,7 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
             for c in range(n_chips):
                 piece = padded[c * m_d:(c + 1) * m_d]
                 # index into the node's concatenated owned vector
-                S[Nn, c] = (piece - Nn * n_chips * nl).astype(np.int32)
+                S[Nn, c] = (piece - Nn * n_chips * nc_own).astype(np.int32)
             # receiver side: node (Nn+d)'s chips scatter the aggregate
             dstN = (Nn + d) % n_nodes
             for c in range(n_chips):
@@ -139,7 +147,7 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
                 hit = (pos < gl.size) & (gl[np.clip(pos, 0, gl.size - 1)]
                                          == padded[: g.size])
                 tgt = np.full(n_chips * m_d, n_ext, dtype=np.int32)
-                tgt[: g.size][hit] = (nl + pos[hit]).astype(np.int32)
+                tgt[: g.size][hit] = (nc_own + pos[hit]).astype(np.int32)
                 Rt[dstN, c] = tgt
         send_idx.append(jnp.asarray(S))
         recv_tgt.append(jnp.asarray(Rt))
@@ -151,9 +159,9 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
     for p in range(ndev):
         Nn = node_of(p)
         g = ghosts[p]
-        same = g[(g // (nl * n_chips)) == Nn]
+        same = g[(g // (nc_own * n_chips)) == Nn]
         rank = np.searchsorted(g, same)
-        locs.append((same - Nn * n_chips * nl, nl + rank))
+        locs.append((same - Nn * n_chips * nc_own, nc_own + rank))
         m_l = max(m_l, same.size)
     Ls = np.zeros((n_nodes, n_chips, max(m_l, 1)), dtype=np.int32)
     Lt = np.full((n_nodes, n_chips, max(m_l, 1)), n_ext, dtype=np.int32)
@@ -165,7 +173,7 @@ def build_taps_plan(E: EllMatrix, n_nodes: int, n_chips: int):
     plan = TapsPlan(
         send_idx=tuple(send_idx), recv_tgt=tuple(recv_tgt),
         local_src=jnp.asarray(Ls), local_tgt=jnp.asarray(Lt),
-        offsets=tuple(offsets), n_local=nl, n_ext=n_ext,
+        offsets=tuple(offsets), n_local=nc_own, n_ext=n_ext,
         n_nodes=n_nodes, n_chips=n_chips,
     )
     return plan, jnp.asarray(new_cols)

@@ -226,6 +226,23 @@ def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
             ) * (lev.dinv * r)
             x = x + d
         return x
+    if cfg.smoother == "chebyshev":  # mirrors solver._smooth 1st-kind variant
+        lmax = lev.cheb_lmax
+        lmin = lmax / 30.0
+        dd = (lmax + lmin) / 2
+        cc = (lmax - lmin) / 2
+        p = jnp.zeros_like(x)
+        alpha = jnp.zeros_like(dd)
+        for i in range(cfg.cheb_degree):
+            z = lev.dinv * (b - spmv(x))
+            if i == 0:
+                p, alpha = z, 1.0 / dd
+            else:
+                beta = (cc * alpha / 2) ** 2
+                alpha = 1.0 / (dd - beta / alpha)
+                p = z + beta * p
+            x = x + alpha * p
+        return x
     raise ValueError(f"distributed structured smoother: {cfg.smoother}")
 
 
@@ -238,6 +255,12 @@ def _sdist_level(dh: SDistHierarchy, k: int, b):
     if k + 1 < len(dh.levels):
         rc = _compact(rr, lev.dims_local, lev.cdim)
         ec = _sdist_level(dh, k + 1, rc)
+        if cfg.cycle == "W":
+            # second coarse visit (gamma=2); sharded levels always have the
+            # tail below, so the single-device k+1 < nlev-1 guard holds
+            lev1 = dh.levels[k + 1]
+            rc2 = rc - _halo_spmv(lev1.A, lev1.dims_local, ec)
+            ec = ec + _sdist_level(dh, k + 1, rc2)
         e = _expand(ec, lev.dims_local, lev.cdim)
     else:
         # agglomerate: gather the (small) coarse residual, run the
@@ -245,6 +268,11 @@ def _sdist_level(dh: SDistHierarchy, k: int, b):
         rc_loc = _compact(rr, lev.dims_local, lev.cdim)
         rc = jax.lax.all_gather(rc_loc, AXIS, tiled=True)
         ec = _slevel(dh.tail, cfg, 0, rc)
+        if cfg.cycle == "W" and len(dh.tail.levels) > 1:
+            from raptor_tpu.structured.dia import dia_spmv
+
+            rc2 = rc - dia_spmv(dh.tail.levels[0].A, ec)
+            ec = ec + _slevel(dh.tail, cfg, 0, rc2)
         nl_c = rc_loc.shape[0]
         me = jax.lax.axis_index(AXIS)
         ec_loc = jax.lax.dynamic_slice(ec, (me * nl_c,), (nl_c,))

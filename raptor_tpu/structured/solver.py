@@ -529,20 +529,25 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
 def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
     lev = hier.levels[k]
     if k == len(hier.levels) - 1:
-        return hier.coarse_inv @ b
-    x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
-    r = b - dia_spmv(lev.A, x)
-    rr = dia_spmv(lev.Rt, r)
-    rc = (_compact_full(rr, lev.dims) if lev.cdim == FULL_STEP
-          else _compact(rr, lev.dims, lev.cdim))
+        with jax.named_scope(f"L{k}.coarse_solve"):
+            return hier.coarse_inv @ b
+    with jax.named_scope(f"L{k}.presmooth"):
+        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+    with jax.named_scope(f"L{k}.restrict"):
+        r = b - dia_spmv(lev.A, x)
+        rr = dia_spmv(lev.Rt, r)
+        rc = (_compact_full(rr, lev.dims) if lev.cdim == FULL_STEP
+              else _compact(rr, lev.dims, lev.cdim))
     ec = _slevel(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         Ac = hier.levels[k + 1].A
         ec = ec + _slevel(hier, cfg, k + 1, rc - dia_spmv(Ac, ec))
-    e = (_expand_full(ec, lev.dims) if lev.cdim == FULL_STEP
-         else _expand(ec, lev.dims, lev.cdim))
-    x = x + dia_spmv(lev.Pt, e)
-    x = _smooth(lev, cfg, b, x, backward=True)
+    with jax.named_scope(f"L{k}.prolong"):
+        e = (_expand_full(ec, lev.dims) if lev.cdim == FULL_STEP
+             else _expand(ec, lev.dims, lev.cdim))
+        x = x + dia_spmv(lev.Pt, e)
+    with jax.named_scope(f"L{k}.postsmooth"):
+        x = _smooth(lev, cfg, b, x, backward=True)
     return x
 
 

@@ -77,3 +77,45 @@ def test_taps_matches_flat_exchange():
             want = float(g) * 0.5 + 3.0
             assert ef[p, nl + rank] == want, ("flat", p, g)
             assert et[p, nl + rank] == want, ("taps", p, g)
+
+
+def test_dist_solve_taps_matches_flat():
+    """TAPS is reachable from the solver (VERDICT r1 missing #4): a
+    (node, chip)-mesh dist solve routed through taps_exchange must match the
+    flat-mesh dist solve and the single-device solve."""
+    from raptor_tpu import AmgConfig, setup
+    from raptor_tpu.api import solve_hier
+    from raptor_tpu.core import pad_vector
+    from raptor_tpu.gallery import default_rhs
+    from raptor_tpu.parallel import (
+        dist_solve,
+        dist_solve_taps,
+        distribute_hierarchy,
+        distribute_hierarchy_taps,
+        make_solve_mesh,
+        make_taps_mesh,
+    )
+
+    A = poisson_3d(12)
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", smoother="jacobi",
+                    pad_multiple=8 * NDEV, coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+    x_ref, info_ref = solve_hier(hier, bd, tol=1e-8, maxiter=100, krylov="cg")
+
+    dh = distribute_hierarchy(hier, NDEV, tail_size=500)
+    x_flat, info_flat = dist_solve(dh, bd, make_solve_mesh(NDEV),
+                                   tol=1e-8, maxiter=100)
+
+    th = distribute_hierarchy_taps(hier, N_NODES, N_CHIPS, tail_size=500)
+    assert len(th.base.levels) >= 2
+    x_taps, info_taps = dist_solve_taps(th, bd, make_taps_mesh(N_NODES, N_CHIPS),
+                                        tol=1e-8, maxiter=100)
+    assert int(info_taps.iterations) == int(info_ref.iterations)
+    assert float(info_taps.relres) <= 1e-8
+    assert np.allclose(np.asarray(x_taps), np.asarray(x_ref), atol=1e-10)
+    assert np.allclose(np.asarray(x_taps), np.asarray(x_flat), atol=1e-12)
+    xn = np.asarray(x_taps)[:n]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
