@@ -29,7 +29,8 @@ import numpy as np
 
 from raptor_tpu.core.ell import EllMatrix, ell_from_csr, ell_to_csr
 
-__all__ = ["HaloPlan", "DistMatrix", "distribute_matrix", "repartition_pad"]
+__all__ = ["HaloPlan", "DistMatrix", "distribute_matrix", "plan_and_remap",
+           "repartition_pad"]
 
 
 @partial(
@@ -115,10 +116,31 @@ def distribute_matrix(E: EllMatrix, ndev: int, n_col_owned: int | None = None):
     nc_own = n_col_owned if n_col_owned is not None else nl
     assert E.n_cols_pad == nc_own * ndev, (E.n_cols_pad, nc_own, ndev)
 
-    data = np.asarray(E.data)
-    cols = np.asarray(E.cols)
-    nnz = np.asarray(E.row_nnz)
-    K = E.K
+    plan, new_cols = plan_and_remap(
+        np.asarray(E.cols), np.asarray(E.row_nnz), ndev, nc_own
+    )
+    return DistMatrix(
+        data=jnp.asarray(np.asarray(E.data)),
+        cols=jnp.asarray(new_cols),
+        row_nnz=jnp.asarray(np.asarray(E.row_nnz)),
+        halo=plan,
+        n_rows_local=nl,
+        K=E.K,
+        shape=E.shape,
+    )
+
+
+def plan_and_remap(cols: np.ndarray, nnz: np.ndarray, ndev: int, nc_own: int):
+    """Host structure pass shared by ``distribute_matrix`` and the
+    distributed setup (parallel.dist_setup): from global ELL structure
+    (``cols`` (K, n_rows), ``nnz`` (n_rows,), contiguous row blocks, column
+    space owned ``nc_own`` per device) build the HaloPlan and the
+    extended-vector column remap.  Values never pass through here — this is
+    RAPtor-style comm-package construction, index bookkeeping only.
+    """
+    K, n_rows = cols.shape
+    assert n_rows % ndev == 0
+    nl = n_rows // ndev
     mask = np.arange(K)[:, None] < nnz[None, :]
 
     owner = cols // nc_own  # (K, n_rows)
@@ -183,12 +205,4 @@ def distribute_matrix(E: EllMatrix, ndev: int, n_col_owned: int | None = None):
         n_local=nc_own,
         n_ext=n_ext,
     )
-    return DistMatrix(
-        data=jnp.asarray(data),
-        cols=jnp.asarray(new_cols),
-        row_nnz=jnp.asarray(nnz),
-        halo=plan,
-        n_rows_local=nl,
-        K=K,
-        shape=E.shape,
-    )
+    return plan, new_cols

@@ -33,28 +33,34 @@ import jax.numpy as jnp
 from raptor_tpu.core.ell import EllMatrix, pad_rows
 from raptor_tpu.setup.splitting import C_PT
 
-__all__ = ["direct_interpolation", "tighten_coarse_space", "add_identity_padding"]
+__all__ = ["direct_interpolation", "direct_interpolation_core",
+           "tighten_coarse_space", "add_identity_padding"]
 
 
-@jax.jit
-def direct_interpolation(
-    A: EllMatrix, smask: jax.Array, cf: jax.Array
-) -> tuple[EllMatrix, jax.Array]:
-    """Build P from the C/F splitting. Returns (P, n_coarse).
+def direct_interpolation_core(
+    A: EllMatrix,
+    smask: jax.Array,
+    is_c_row: jax.Array,
+    is_c_col: jax.Array,
+    cmap_row: jax.Array,
+    cmap_col: jax.Array,
+) -> EllMatrix:
+    """Direct-interpolation body with caller-supplied C/coarse-index views.
 
-    P's rows: identity for C points, direct-interpolation weights on strong C
-    neighbors for F points, empty for isolated F points.  P.n_cols_pad is the
-    fine padded size (upper bound) — see ``tighten_coarse_space``.
+    ``is_c_row``/``cmap_row`` are indexed by A's *row* space (n_rows_pad);
+    ``is_c_col``/``cmap_col`` by its *column* space (n_cols_pad).  On a single
+    device the two views are the same vector; in the distributed setup
+    (parallel.dist_setup) the column views are halo-extended and ``cmap``
+    holds global block-padded coarse indices.  Entirely per-row vector work —
+    no communication happens in here.
     """
     K, n = A.data.shape
-    is_c = cf == C_PT
-    cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
     row = A.row_index()
     off = (A.cols != row) & A.slot_mask()
     a = A.data
     diag = A.diagonal()
 
-    strong_c = smask & jnp.take(is_c, A.cols)
+    strong_c = smask & jnp.take(is_c_col, A.cols)
     neg = off & (a < 0)
     pos = off & (a > 0)
     num_neg = jnp.sum(jnp.where(neg, a, 0), axis=0)
@@ -68,7 +74,7 @@ def direct_interpolation(
     coef = jnp.where(a < 0, alpha[None, :], beta[None, :])
     w = -(coef * a) / dii[None, :]
     pvals = jnp.where(strong_c, w, 0)
-    pcols = jnp.take(cmap, A.cols)
+    pcols = jnp.take(cmap_col, A.cols)
 
     # compact strong-C slots to the front of each row
     slotpos = jnp.cumsum(strong_c.astype(jnp.int32), axis=0) - 1
@@ -80,13 +86,13 @@ def direct_interpolation(
 
     # C rows: identity
     k0 = jax.lax.broadcasted_iota(jnp.int32, (K, n), 0) == 0
-    own = jnp.where(k0, cmap[None, :], 0)
-    P_data = jnp.where(is_c[None, :], jnp.where(k0, 1.0, 0.0).astype(A.dtype), P_data)
-    P_cols = jnp.where(is_c[None, :], own, P_cols)
-    p_nnz = jnp.where(is_c, 1, p_nnz)
+    own = jnp.where(k0, cmap_row[None, :], 0)
+    P_data = jnp.where(is_c_row[None, :], jnp.where(k0, 1.0, 0.0).astype(A.dtype),
+                       P_data)
+    P_cols = jnp.where(is_c_row[None, :], own, P_cols)
+    p_nnz = jnp.where(is_c_row, 1, p_nnz)
 
-    nc = jnp.sum(is_c.astype(jnp.int32))
-    P = EllMatrix(
+    return EllMatrix(
         data=P_data,
         cols=P_cols,
         row_nnz=p_nnz,
@@ -94,6 +100,22 @@ def direct_interpolation(
         n_rows_pad=A.n_rows_pad,
         n_cols_pad=A.n_rows_pad,  # upper bound; tightened on host
     )
+
+
+@jax.jit
+def direct_interpolation(
+    A: EllMatrix, smask: jax.Array, cf: jax.Array
+) -> tuple[EllMatrix, jax.Array]:
+    """Build P from the C/F splitting. Returns (P, n_coarse).
+
+    P's rows: identity for C points, direct-interpolation weights on strong C
+    neighbors for F points, empty for isolated F points.  P.n_cols_pad is the
+    fine padded size (upper bound) — see ``tighten_coarse_space``.
+    """
+    is_c = cf == C_PT
+    cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
+    P = direct_interpolation_core(A, smask, is_c, is_c, cmap, cmap)
+    nc = jnp.sum(is_c.astype(jnp.int32))
     return P, nc
 
 
