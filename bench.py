@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--size", type=int, default=0, help="grid points per dim")
     ap.add_argument("--cycles", type=int, default=20)
     ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="capture a jax.profiler trace of the timed V-cycles "
+                         "(view in Perfetto/TensorBoard; phases are "
+                         "named_scope-annotated per level)")
+    ap.add_argument("--no-extra-sizes", action="store_true",
+                    help="skip the secondary-size measurement")
     args = ap.parse_args()
 
     import jax
@@ -97,84 +103,117 @@ def main():
             st[tuple(i)] = -1.0
         i[d] = 1
 
-    dims = (size, size, size)
-    n = size**3
     # best measured configuration (docs/DESIGN.md): fourth-kind Chebyshev
     # degree-2 smoothing, bf16-stored preconditioner hierarchy
     cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=512,
                     max_levels=40)
 
-    # ---- setup ----
-    A = dia_from_stencil(st, dims, dtype=jnp.float32)
-    _ = np.asarray(A.data[0, :8])
-    t0 = time.perf_counter()
-    hier = build_structured_hierarchy(A, cfg, dim_policy="size")
-    _ = np.asarray(hier.coarse_inv[:1, :1])
-    setup_cold_s = time.perf_counter() - t0
-    # warm setup: same shapes hit the jit cache — the honest compute time
-    t0 = time.perf_counter()
-    hier = build_structured_hierarchy(A, cfg, dim_policy="size")
-    _ = np.asarray(hier.coarse_inv[:1, :1])
-    setup_s = time.perf_counter() - t0
-    log(f"setup: {setup_s:.3f}s warm ({setup_cold_s:.1f}s cold incl. "
-        f"compile), {len(hier.levels)} levels, "
-        f"offsets={[lv.A.n_off for lv in hier.levels]}")
-
-    # ---- V-cycle throughput (the production preconditioner application:
-    # bf16-stored operators, fp32 vectors) ----
-    hM = cast_hierarchy(hier, jnp.bfloat16)
-    b = jnp.asarray(default_rhs(n, dtype=np.float32))
-    N = args.cycles
-
-    @jax.jit
-    def run_cycles(h, r):  # N cycles inside one program: pure device time
-        return jax.lax.fori_loop(
-            0, N, lambda i, v: scycle(h, v).astype(jnp.float32), r)
-
-    ssum = jax.jit(lambda v: jnp.sum(v))
-    x = run_cycles(hM, b)
-    _ = float(ssum(x))  # 4-byte sync (large downloads pollute the timing)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        x = run_cycles(hM, x)
-    _ = float(ssum(x))
-    vcycle_s = (time.perf_counter() - t0) / reps / N
-    dofs_per_s = n / vcycle_s
-    log(f"V-cycle: {vcycle_s*1e3:.2f} ms -> {dofs_per_s/1e9:.3f} GDOF/s")
-
-    # ---- solve to true 1e-8: fully on device (fp32 inner AMG-PCG inside
-    # compensated double-float32 refinement — one jit, no host round-trips,
-    # no fp64 emulation; docs/DESIGN.md §5b) ----
+    from raptor_tpu.gallery import stencil_grid
     from raptor_tpu.structured import structured_solve_refined
 
-    (xh, xl), rel, iters = structured_solve_refined(
-        hier, b, tol=args.tol, M_hier=hM)  # warm (compile)
-    _ = float(rel)
-    t0 = time.perf_counter()
-    (xh, xl), rel, iters = structured_solve_refined(
-        hier, b, tol=args.tol, M_hier=hM)
-    _ = float(rel)
-    solve_s = time.perf_counter() - t0
-    iters_total = int(iters)
-    # honest external verification in numpy fp64
-    from raptor_tpu.gallery import stencil_grid
+    def measure(sz: int, profile_dir=None):
+        """Setup + V-cycle + refined-solve measurement at one size."""
+        dims_ = (sz, sz, sz)
+        n_ = sz**3
+        A_ = dia_from_stencil(st, dims_, dtype=jnp.float32)
+        _ = np.asarray(A_.data[0, :8])
+        t0 = time.perf_counter()
+        h_ = build_structured_hierarchy(A_, cfg, dim_policy="size")
+        _ = np.asarray(h_.coarse_inv[:1, :1])
+        cold = time.perf_counter() - t0
+        # warm setup: same shapes hit the jit cache — the honest compute time
+        t0 = time.perf_counter()
+        h_ = build_structured_hierarchy(A_, cfg, dim_policy="size")
+        _ = np.asarray(h_.coarse_inv[:1, :1])
+        warm = time.perf_counter() - t0
+        log(f"[{sz}^3] setup: {warm:.3f}s warm ({cold:.1f}s cold incl. "
+            f"compile), {len(h_.levels)} levels, "
+            f"offsets={[lv.A.n_off for lv in h_.levels]}")
 
-    A_sp = stencil_grid(st, dims)
-    b64 = np.asarray(b, dtype=np.float64)
-    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
-    final_relres = float(
-        np.linalg.norm(b64 - A_sp @ x64) / np.linalg.norm(b64))
-    log(f"solve: {solve_s:.3f}s, {iters_total} PCG iterations, "
-        f"true relres {final_relres:.2e}")
+        # V-cycle throughput (production preconditioner application:
+        # bf16-stored operators, fp32 vectors)
+        hM_ = cast_hierarchy(h_, jnp.bfloat16)
+        b_ = jnp.asarray(default_rhs(n_, dtype=np.float32))
+        N = args.cycles
 
-    # ---- CPU-core-equivalent baseline ----
-    cpu_size = min(size, 64)
-    if cpu_size != size:
-        Ac = dia_from_stencil(st, (cpu_size,) * 3, dtype=jnp.float32)
-        hier_c = build_structured_hierarchy(Ac, cfg, dim_policy="size")
-    else:
-        hier_c = hier
+        @jax.jit
+        def run_cycles(h, r):  # N cycles inside one program: device time only
+            return jax.lax.fori_loop(
+                0, N, lambda i, v: scycle(h, v).astype(jnp.float32), r)
+
+        ssum = jax.jit(lambda v: jnp.sum(v))
+        x = run_cycles(hM_, b_)
+        _ = float(ssum(x))  # 4-byte sync (large downloads pollute the timing)
+        import contextlib
+
+        from raptor_tpu.utils.profiling import trace
+
+        prof = trace(profile_dir) if profile_dir else contextlib.nullcontext()
+        with prof:
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                x = run_cycles(hM_, x)
+            _ = float(ssum(x))
+            vc = (time.perf_counter() - t0) / reps / N
+        rate = n_ / vc
+        log(f"[{sz}^3] V-cycle: {vc*1e3:.2f} ms -> {rate/1e9:.3f} GDOF/s")
+
+        # solve to true 1e-8: fully on device (fp32 inner AMG-PCG inside
+        # compensated double-float32 refinement — one jit, docs/DESIGN.md §5b)
+        (xh, xl), rel, iters = structured_solve_refined(
+            h_, b_, tol=args.tol, M_hier=hM_)  # warm (compile)
+        _ = float(rel)
+        t0 = time.perf_counter()
+        (xh, xl), rel, iters = structured_solve_refined(
+            h_, b_, tol=args.tol, M_hier=hM_)
+        _ = float(rel)
+        sol = time.perf_counter() - t0
+        # honest external verification in numpy fp64
+        A_sp_ = stencil_grid(st, dims_)
+        b64 = np.asarray(b_, dtype=np.float64)
+        x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        relres = float(np.linalg.norm(b64 - A_sp_ @ x64) / np.linalg.norm(b64))
+        log(f"[{sz}^3] solve: {sol:.3f}s, {int(iters)} PCG iterations, "
+            f"true relres {relres:.2e}")
+        return {
+            "hier": h_, "vcycle_s": vc, "dof_per_s": rate, "setup_s": warm,
+            "setup_cold_s": cold, "solve_s": sol, "iters": int(iters),
+            "relres": relres,
+        }
+
+    m = measure(size, profile_dir=args.profile)
+    hier = m["hier"]
+    n = size**3
+    vcycle_s, dofs_per_s = m["vcycle_s"], m["dof_per_s"]
+    setup_s, setup_cold_s = m["setup_s"], m["setup_cold_s"]
+    solve_s, iters_total, final_relres = m["solve_s"], m["iters"], m["relres"]
+
+    # secondary size: config 5 names 256^3 (BASELINE.json:11) — report the
+    # large-scale per-DOF rate alongside the headline so regressions at
+    # scale are driver-visible
+    extra = {}
+    if on_tpu and not args.no_extra_sizes and size == 128:
+        try:
+            m2 = measure(256)
+            extra["256"] = {
+                "vcycle_ms": m2["vcycle_s"] * 1e3,
+                "dof_per_s": m2["dof_per_s"],
+                "setup_s": m2["setup_s"],
+                "solve_to_tol_s": m2["solve_s"],
+                "pcg_iterations": m2["iters"],
+                "final_relres": m2["relres"],
+                "per_dof_vs_headline":
+                    (m2["vcycle_s"] / 256**3) / (vcycle_s / n),
+            }
+        except Exception as e:  # secondary size must not kill the headline
+            log(f"[256^3] measurement failed: {type(e).__name__}: {e}")
+            extra["256"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- CPU-core-equivalent baseline (same size as the device headline:
+    # cache-resident small problems flatter the CPU — VERDICT r1 weak #9) ----
+    cpu_size = size
+    hier_c = hier
     levels_csr = []
     for k, lv in enumerate(hier_c.levels):
         entry = {"A": dia_to_scipy(lv.A).astype(np.float64)}
@@ -209,6 +248,7 @@ def main():
             "final_relres": final_relres,
             "cpu_core_dof_per_s": cpu_dofs,
             "device": str(dev),
+            **extra,
         },
     }
     print(json.dumps(result), flush=True)

@@ -55,19 +55,26 @@ def _coarse_solve(hier: Hierarchy, b):
 
 def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
     """One cycle at level k with zero initial guess; returns x ~ A_k^{-1} b."""
+    import jax
+
     lev = hier.levels[k]
     if k == len(hier.levels) - 1:
-        return _coarse_solve(hier, b)
-    x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
-    r = b - spmv(lev.A, x)
-    rc = spmv(lev.R, r)
+        with jax.named_scope(f"L{k}.coarse_solve"):
+            return _coarse_solve(hier, b)
+    with jax.named_scope(f"L{k}.presmooth"):
+        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+    with jax.named_scope(f"L{k}.restrict"):
+        r = b - spmv(lev.A, x)
+        rc = spmv(lev.R, r)
     ec = _level(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         # second coarse visit on the updated coarse residual (gamma = 2)
         rc2 = rc - spmv(hier.levels[k + 1].A, ec)
         ec = ec + _level(hier, cfg, k + 1, rc2)
-    x = x + spmv(lev.P, ec)
-    x = _smooth(lev, cfg, b, x, backward=True)
+    with jax.named_scope(f"L{k}.prolong"):
+        x = x + spmv(lev.P, ec)
+    with jax.named_scope(f"L{k}.postsmooth"):
+        x = _smooth(lev, cfg, b, x, backward=True)
     return x
 
 

@@ -243,13 +243,19 @@ def sdist_build_hierarchy(
             if d == 0:
                 D0k = (D0k + 1) // 2
 
-        # agglomerate: gather the coarsest sharded operator, build the tail
-        # replicated with the single-device routines
-        glob_planes = jax.lax.all_gather(Ak.data, AXIS, axis=1, tiled=True)
-        A_tail = DiaMatrix(data=glob_planes, offsets=Ak.offsets,
-                           dims=(D0k,) + Ak.dims[1:])
-        tail = _build_hierarchy_planned(A_tail, config, plan[t:])
-        return tuple(levels), tail
+        # agglomerate: gather the coarsest sharded operator.  The tail is
+        # built OUTSIDE this shard_map (on the replicated gathered data) so
+        # the whole sharded program runs with full replication checking
+        # (check_vma on — the SURVEY §5.2 TSAN analogue).  The gather is
+        # expressed as scatter-into-zeros + psum because psum output is
+        # statically replication-inferred while all_gather's is not.
+        nloc = Ak.data.shape[1]
+        me = jax.lax.axis_index(AXIS)
+        buf = jnp.zeros((Ak.data.shape[0], nloc * ndev), Ak.data.dtype)
+        zero = jnp.zeros((), me.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, Ak.data, (zero, me * nloc))
+        glob_planes = jax.lax.psum(buf, AXIS)
+        return tuple(levels), glob_planes
 
     # ---- static output structure (offset algebra mirrors the body) ----
     def mult_offs(a, b):
@@ -283,29 +289,19 @@ def sdist_build_hierarchy(
         ))
         offs_k = compact_offs(mult_offs(p_offs, mult_offs(offs_k, p_offs)), d)
 
-    # tail structure via abstract evaluation (no device work)
+    # shard the fine diagonals over the mesh and run (replication checking
+    # stays ON — SURVEY §5.2)
     dims_t = dims_seq[t]
-    n_t = int(np.prod(dims_t))
-    tail_struct = jax.eval_shape(
-        lambda d: _build_hierarchy_planned(
-            DiaMatrix(data=d, offsets=offs_k, dims=dims_t),
-            config, plan[t:],
-        ),
-        jax.ShapeDtypeStruct((len(offs_k), n_t), A.data.dtype),
-    )
-    tail_specs = jax.tree_util.tree_map(lambda _: P(), tail_struct)
-
-    # shard the fine diagonals over the mesh and run
     data = jax.device_put(
         jnp.asarray(A.data), NamedSharding(mesh, P(None, AXIS))
     )
-    # check_vma off: the replicated-tail outputs are provably replicated
-    # (they derive from an all_gather), but the inference loses the tag
-    # through the dense Cholesky; correctness is covered by the
-    # dist-vs-single-device equality test.
     run = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=P(None, AXIS),
-        out_specs=(tuple(lev_specs), tail_specs), check_vma=False,
+        out_specs=(tuple(lev_specs), P()),
     ))
-    levels, tail = run(data)
+    levels, tail_data = run(data)
+    # replicated tail built outside the shard_map (same traced program
+    # family; compile is cached per shape like the rest of the setup)
+    A_tail = DiaMatrix(data=tail_data, offsets=offs_k, dims=dims_t)
+    tail = _build_hierarchy_planned(A_tail, config, plan[t:])
     return SDistHierarchy(levels=levels, tail=tail, config=config, ndev=ndev)

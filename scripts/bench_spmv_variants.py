@@ -64,7 +64,7 @@ def roll_step(data, lins, x):
 def main():
     from functools import partial
 
-    from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas
+    from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2 as dia_spmv_pallas
 
     dev = jax.devices()[0]
     print("device:", dev, dev.platform, flush=True)

@@ -6,20 +6,25 @@ trick lets every shard_map/ppermute/mesh code path run in CI with no TPU.
 
 import os
 
-# force CPU even when the ambient environment preselects a TPU platform
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force CPU even when the ambient environment preselects a TPU platform.
+# Set RAPTOR_TEST_PLATFORM=tpu to run the hardware-gated tests (e.g. the
+# compiled-mode Pallas checks) on a real chip instead.
+_PLATFORM = os.environ.get("RAPTOR_TEST_PLATFORM", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The image's site hook forces jax_platforms="axon,cpu" regardless of the
-# env var — override via config so tests always run on the 8 CPU devices.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _PLATFORM == "cpu":
+    # The image's site hook forces jax_platforms="axon,cpu" regardless of the
+    # env var — override via config so tests always run on the 8 CPU devices.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite compiles many static-shape setup
 # kernels; cache them across runs (directory is gitignored).

@@ -119,3 +119,39 @@ def test_native_kernels_match_python():
         color_p[i] = c
     assert np.array_equal(color_n, color_p)
     assert nc_n == int(color_p.max()) + 1
+
+
+def test_hierarchy_determinism_same_seed_bitwise():
+    """SURVEY §5.2: same seed => bitwise-identical hierarchy (int-key PMIS
+    weights were designed for this; this locks the property in)."""
+    import jax
+
+    from raptor_tpu import AmgConfig, setup
+    from raptor_tpu.gallery import poisson_3d
+
+    A = poisson_3d(10)
+    cfg = AmgConfig(splitting="pmis", smoother="jacobi", seed=7)
+    h1 = setup(A, cfg, dtype=np.float64)
+    h2 = setup(A, cfg, dtype=np.float64)
+    l1 = jax.tree_util.tree_leaves(h1)
+    l2 = jax.tree_util.tree_leaves(h2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), "nondeterministic leaf"
+
+    # structured engine: one-jit setup, same input => bitwise-same levels
+    from raptor_tpu.structured import build_structured_hierarchy, dia_from_stencil
+
+    st = np.zeros((3, 3, 3))
+    st[1, 1, 1] = 6.0
+    for d in range(3):
+        i = [1, 1, 1]
+        for s in (0, 2):
+            i[d] = s
+            st[tuple(i)] = -1.0
+        i[d] = 1
+    D = dia_from_stencil(st, (8, 8, 8))
+    s1 = build_structured_hierarchy(D, AmgConfig(smoother="mcgs"))
+    s2 = build_structured_hierarchy(D, AmgConfig(smoother="mcgs"))
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
