@@ -99,10 +99,12 @@ def solve_hier(
     x0: jax.Array | None = None,
 ):
     """Jitted end-to-end solve given a built hierarchy and padded rhs."""
-    A = hier.levels[0].A
+    from raptor_tpu.solve.cycle import apply_op
+
+    lev0 = hier.levels[0]
 
     def apply_A(x):
-        return spmv(A, x)
+        return apply_op(lev0, x)
 
     if precondition:
         def apply_M(r):

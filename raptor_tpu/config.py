@@ -18,7 +18,10 @@ class AmgConfig:
     strength:  'classical' (signed, M-matrix oriented) | 'abs' (symmetric |a_ij|)
     splitting: 'rs' (host serial Ruge-Stüben) | 'pmis' | 'cljp' | 'aggregation'
     interp:    'direct' | 'classical' (modified classical) | 'smoothed' (SA)
-    smoother:  'jacobi' | 'mcgs' (multicolor/red-black Gauss-Seidel) | 'chebyshev'
+    smoother:  'jacobi' | 'mcgs' (multicolor/red-black Gauss-Seidel)
+               | 'chebyshev' | 'cheb4' (fourth-kind Chebyshev)
+               | 'block_jacobi' | 'block_cheb' (block-diag-preconditioned,
+               SA/elasticity levels run through the BlockELL layout)
     """
 
     strength: str = "classical"
@@ -77,9 +80,11 @@ PRESETS: dict[str, AmgConfig] = {
     # 3: 2D rotated anisotropic 9-pt, strength filtering + aggressive coarsening
     "config3": AmgConfig(splitting="pmis", theta=0.35, aggressive=True,
                          smoother="jacobi"),
-    # 4: 3D elasticity 27-pt BSR, smoothed aggregation, Chebyshev
+    # 4: 3D elasticity 27-pt BSR, smoothed aggregation, block-diag-
+    # preconditioned Chebyshev: the solve path runs through the BlockELL
+    # layout (bell_spmv, batched 3x3 blocks on the MXU — BASELINE.json:5,10)
     "config4": AmgConfig(splitting="aggregation", interp="smoothed",
-                         smoother="chebyshev", num_candidates=6, theta=0.16),
+                         smoother="block_cheb", num_candidates=6, theta=0.16),
     # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange
     "config5": AmgConfig(splitting="pmis", smoother="mcgs"),
 }

@@ -27,7 +27,8 @@ import numpy as np
 from raptor_tpu.core.ell import pad_rows
 
 __all__ = ["BlockEllMatrix", "bell_from_bsr", "bell_to_bsr", "bell_spmv",
-           "block_diag_inv", "block_jacobi"]
+           "block_diag_inv", "block_jacobi", "ell_to_bell",
+           "block_chebyshev4", "estimate_lmax_bell"]
 
 
 @partial(
@@ -140,3 +141,67 @@ def block_jacobi(A: BlockEllMatrix, dinv_blocks, b, x,
         return x + omega * upd
 
     return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def ell_to_bell(E, bs: int, row_pad_multiple: int = 8) -> BlockEllMatrix:
+    """Scalar EllMatrix -> BlockEllMatrix with ``bs x bs`` blocks (host-side
+    structure pass, setup-time only).
+
+    Capability reproduced (spec = BASELINE.json:5,10): the block layout the
+    solve path runs on — "CSR/BSR ... become padded ELL/blocked-sparse
+    layouts sized for the MXU".  Used by build_sa_hierarchy to re-lay the
+    Galerkin operators as block matrices so elasticity smoothing and SpMV
+    batch as (nb, b, b) x (nb, b) contractions on the MXU.
+    """
+    from raptor_tpu.core.ell import ell_to_csr
+
+    a = ell_to_csr(E)  # logical shape; identity pad rows re-added below
+    assert a.shape[0] % bs == 0, (a.shape, bs)
+    assert E.n_rows_pad % bs == 0, (E.n_rows_pad, bs)
+    # pad the block-row count to exactly n_rows_pad/bs so block vectors are
+    # the same padded vectors the scalar path uses (reshape-compatible)
+    return bell_from_bsr(a, bs=bs, dtype=np.dtype(E.dtype),
+                         row_pad_multiple=E.n_rows_pad // bs)
+
+
+def block_chebyshev4(A: BlockEllMatrix, binv, b, x, lmax, degree: int = 3):
+    """Fourth-kind Chebyshev smoothing preconditioned by the block diagonal
+    (the elasticity upgrade of solve/smoothers.chebyshev4: Dblk^{-1} couples
+    each node's ``bs`` dofs exactly, so the polynomial acts on the
+    block-normalized spectrum)."""
+    def prec(r):
+        rb = r.reshape(A.nb_pad, A.bs)
+        return jnp.einsum("nij,nj->ni", binv, rb).reshape(-1)
+
+    r = b - bell_spmv(A, x)
+    d = (4.0 / 3.0) / lmax * prec(r)
+    x = x + d
+    for k in range(2, degree + 1):
+        r = r - bell_spmv(A, d)
+        d = ((2 * k - 3) / (2 * k + 1)) * d + (
+            (8 * k - 4) / (2 * k + 1) / lmax
+        ) * prec(r)
+        x = x + d
+    return x
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def estimate_lmax_bell(A: BlockEllMatrix, binv, iters: int = 40,
+                       safety: float = 1.1):
+    """lambda_max(Dblk^{-1} A) by power iteration (setup-time)."""
+    n = A.nb_pad * A.bs
+    i = jnp.arange(n, dtype=A.dtype)
+    v = jnp.sin(i * 0.7511) + 0.01
+    v = v / jnp.linalg.norm(v)
+
+    def app(v):
+        w = bell_spmv(A, v).reshape(A.nb_pad, A.bs)
+        return jnp.einsum("nij,nj->ni", binv, w).reshape(-1)
+
+    def body(_, v):
+        w = app(v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = app(v)
+    return safety * jnp.vdot(v, w) / jnp.vdot(v, v)

@@ -274,6 +274,28 @@ def _tentative_jit(agg, B, bs: int, n_agg: int, max_nodes: int, nc: int):
 # 6. Hierarchy driver
 # ---------------------------------------------------------------------------
 
+def _block_layout(A: EllMatrix, config: AmgConfig, bs: int, lmax_s):
+    """(Abell, binv, cheb_lmax) for a level when a block smoother is
+    configured (BASELINE.json:5,10): re-lay A as bs x bs BlockELL so the
+    solve path's SpMV and smoothing batch on the MXU.  bs == 1 levels keep
+    the scalar path (their "blocks" would be scalars)."""
+    if config.smoother not in ("block_jacobi", "block_cheb") or bs <= 1:
+        return None, None, lmax_s
+    if A.n_rows_pad % bs or A.shape[0] % bs:
+        return None, None, lmax_s  # padding breaks block alignment here
+    from raptor_tpu.core.bell import (
+        block_diag_inv,
+        ell_to_bell,
+        estimate_lmax_bell,
+    )
+
+    Abell = ell_to_bell(A, bs)
+    binv = block_diag_inv(Abell)
+    if config.smoother == "block_cheb":
+        lmax_s = estimate_lmax_bell(Abell, binv)
+    return Abell, binv, lmax_s
+
+
 def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
     """Smoothed-aggregation hierarchy (config 4, BASELINE.json:10).
 
@@ -326,9 +348,10 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         Ac = add_identity_padding(spgemm(R, AP), ncoarse)
 
         dinv_s, color, ncolors, lmax_s = _smoother_data(A, config, smask)
+        Abell, binv, lmax_s = _block_layout(A, config, bs, lmax_s)
         levels.append(
             Level(A=A, dinv=dinv_s, P=P, R=R, color=color, cheb_lmax=lmax_s,
-                  n=n, ncolors=ncolors)
+                  n=n, ncolors=ncolors, Abell=Abell, binv=binv)
         )
         # next level: block size nc, candidates Bc
         A, n, bs = Ac, ncoarse, nc
@@ -337,9 +360,11 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         )
 
     dinv_s, color, ncolors, lmax_s = _smoother_data(A, config, None)
+    Abell, binv, lmax_s = _block_layout(A, config, bs, lmax_s)
     levels.append(
         Level(A=A, dinv=dinv_s, P=None, R=None, color=color,
-              cheb_lmax=lmax_s, n=n, ncolors=ncolors)
+              cheb_lmax=lmax_s, n=n, ncolors=ncolors, Abell=Abell,
+              binv=binv)
     )
     inv = _dense_inverse(A)
     return Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)

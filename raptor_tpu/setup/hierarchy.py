@@ -42,7 +42,8 @@ __all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax"],
+    data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax", "Abell",
+                 "binv"],
     meta_fields=["n", "ncolors"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,11 @@ class Level:
     cheb_lmax: Optional[jax.Array]  # scalar for Chebyshev
     n: int  # logical (unpadded) dof count
     ncolors: int
+    # block layout (BASELINE.json:5,10): present when the level carries a
+    # BlockEllMatrix re-laying of A (SA/elasticity with a block smoother) —
+    # the solve path then applies A and the smoother through b x b blocks
+    Abell: Optional["object"] = None  # BlockEllMatrix
+    binv: Optional[jax.Array] = None  # (nb_pad, b, b) diag-block inverses
 
 
 @partial(
@@ -101,7 +107,9 @@ def _smoother_data(A: EllMatrix, cfg: AmgConfig, smask):
         pad = np.zeros(A.n_rows_pad, dtype=np.int32)
         pad[: a.shape[0]] = col_np
         color = jnp.asarray(pad)
-    elif cfg.smoother in ("chebyshev", "cheb4"):
+    elif cfg.smoother in ("chebyshev", "cheb4", "block_cheb"):
+        # block_cheb levels that get a block layout override this with the
+        # block-preconditioned estimate; others fall back to scalar cheb4
         lmax = estimate_lmax(A, dinv)
     return dinv, color, ncolors, lmax
 

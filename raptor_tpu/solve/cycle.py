@@ -27,10 +27,36 @@ if TYPE_CHECKING:  # avoid a circular import (hierarchy imports smoothers)
 __all__ = ["cycle", "make_preconditioner"]
 
 
+def apply_op(lev: Level, x):
+    """A @ x through the level's block layout when present (BASELINE.json:5
+    blocked-sparse layouts sized for the MXU), else the scalar ELL path."""
+    if lev.Abell is not None:
+        from raptor_tpu.core.bell import bell_spmv
+
+        return bell_spmv(lev.Abell, x)
+    return spmv(lev.A, x)
+
+
 def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
+    if cfg.smoother == "block_jacobi":
+        if lev.Abell is None:  # level without block alignment: scalar Jacobi
+            return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega,
+                          sweeps=sweeps)
+        from raptor_tpu.core.bell import block_jacobi
+
+        return block_jacobi(lev.Abell, lev.binv, b, x, omega=cfg.omega,
+                            sweeps=sweeps)
+    if cfg.smoother == "block_cheb":
+        if lev.Abell is None:  # fall back to scalar-diag 4th-kind Chebyshev
+            return chebyshev4(lev.A, lev.dinv, b, x, lev.cheb_lmax,
+                              degree=cfg.cheb_degree)
+        from raptor_tpu.core.bell import block_chebyshev4
+
+        return block_chebyshev4(lev.Abell, lev.binv, b, x, lev.cheb_lmax,
+                                degree=cfg.cheb_degree)
     if cfg.smoother == "jacobi":
         return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega, sweeps=sweeps)
     if cfg.smoother == "mcgs":
@@ -64,12 +90,12 @@ def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
     with jax.named_scope(f"L{k}.presmooth"):
         x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
     with jax.named_scope(f"L{k}.restrict"):
-        r = b - spmv(lev.A, x)
+        r = b - apply_op(lev, x)
         rc = spmv(lev.R, r)
     ec = _level(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         # second coarse visit on the updated coarse residual (gamma = 2)
-        rc2 = rc - spmv(hier.levels[k + 1].A, ec)
+        rc2 = rc - apply_op(hier.levels[k + 1], ec)
         ec = ec + _level(hier, cfg, k + 1, rc2)
     with jax.named_scope(f"L{k}.prolong"):
         x = x + spmv(lev.P, ec)

@@ -87,3 +87,35 @@ def test_sa_poisson():
     x, info = solve(A, b, cfg, SolveConfig(dtype="float64"))
     assert info["relres"] <= 1e-8
     assert info["iterations"] <= 15
+
+
+def test_config4_block_path():
+    """config4 preset runs through the BlockELL layout (BASELINE.json:5,10):
+    bell layout == scalar operator exactly, block-diag-preconditioned
+    Chebyshev converges to 1e-8."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.config import PRESETS
+    from raptor_tpu.core.bell import bell_spmv
+    from raptor_tpu.ops import spmv
+
+    A, B, _ = elasticity_3d(5)
+    cfg = PRESETS["config4"]
+    assert cfg.smoother == "block_cheb"
+    hier = build_sa_hierarchy(A, cfg, dtype=np.float64, B=B)
+    lev0 = hier.levels[0]
+    assert lev0.Abell is not None and lev0.Abell.bs == 3
+    assert lev0.binv is not None
+
+    x = np.random.default_rng(0).standard_normal(lev0.A.n_rows_pad)
+    y_b = np.asarray(bell_spmv(lev0.Abell, jnp.asarray(x)))
+    y_s = np.asarray(spmv(lev0.A, jnp.asarray(x)))
+    assert np.allclose(y_b, y_s, rtol=1e-12, atol=1e-12)
+
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, cfg,
+                    SolveConfig(dtype="float64", tol=1e-9, maxiter=100),
+                    hier=hier)
+    assert info["relres"] <= 1e-9
+    assert info["iterations"] <= 40, info["iterations"]
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
