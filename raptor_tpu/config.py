@@ -83,8 +83,11 @@ PRESETS: dict[str, AmgConfig] = {
     # 4: 3D elasticity 27-pt BSR, smoothed aggregation, block-diag-
     # preconditioned Chebyshev: the solve path runs through the BlockELL
     # layout (bell_spmv, batched 3x3 blocks on the MXU — BASELINE.json:5,10)
+    # theta=0.08: the symmetric SA strength test at 0.16 leaves elasticity
+    # aggregates ~2 nodes (the coarsening stalls into a one-level direct
+    # solve); 0.08 yields ~30-node aggregates and a genuine multilevel cycle
     "config4": AmgConfig(splitting="aggregation", interp="smoothed",
-                         smoother="block_cheb", num_candidates=6, theta=0.16),
+                         smoother="block_cheb", num_candidates=6, theta=0.08),
     # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange
     "config5": AmgConfig(splitting="pmis", smoother="mcgs"),
 }
