@@ -72,6 +72,11 @@ def main():
                          "named_scope-annotated per level)")
     ap.add_argument("--no-extra-sizes", action="store_true",
                     help="skip the secondary-size measurement")
+    ap.add_argument("--measure-only", action="store_true",
+                    help="internal: measure --size and print the raw dict as "
+                         "JSON (used to run the secondary size in a fresh "
+                         "process — the axon backend cannot hold both sizes' "
+                         "programs at once)")
     args = ap.parse_args()
 
     import jax
@@ -182,6 +187,12 @@ def main():
             "relres": relres,
         }
 
+    if args.measure_only:
+        m = measure(size)
+        m.pop("hier")
+        print(json.dumps(m), flush=True)
+        return
+
     m = measure(size, profile_dir=args.profile)
     hier = m["hier"]
     n = size**3
@@ -189,13 +200,49 @@ def main():
     setup_s, setup_cold_s = m["setup_s"], m["setup_cold_s"]
     solve_s, iters_total, final_relres = m["solve_s"], m["iters"], m["relres"]
 
+    # snapshot the headline hierarchy to host CSR now so its device buffers
+    # can be dropped before the 256^3 measurement (holding both hierarchies
+    # plus compiled programs pressures the 16 GiB HBM)
+    levels_csr = []
+    for k, lv in enumerate(hier.levels):
+        entry = {"A": dia_to_scipy(lv.A).astype(np.float64)}
+        if lv.Pt is not None:
+            from raptor_tpu.structured.dia import dia_to_scipy as d2s
+            from raptor_tpu.structured.solver import _c_mask
+
+            cmask = _c_mask(lv.dims, lv.cdim)
+            Pt = d2s(lv.Pt).astype(np.float64)
+            entry["P"] = Pt[:, cmask]
+            entry["R"] = entry["P"].T.tocsr()
+        levels_csr.append(entry)
+    del hier
+    m["hier"] = None
+    # also drop the 128^3 executables: loaded TPU programs live in HBM, and
+    # the resident 128^3 setup/solve programs plus the 256^3 ones exceed the
+    # chip's program space (observed as INVALID_ARGUMENT at 256^3 otherwise)
+    jax.clear_caches()
+
     # secondary size: config 5 names 256^3 (BASELINE.json:11) — report the
     # large-scale per-DOF rate alongside the headline so regressions at
     # scale are driver-visible
     extra = {}
     if on_tpu and not args.no_extra_sizes and size == 128:
         try:
-            m2 = measure(256)
+            # fresh process: the axon TPU backend errors (InvalidArgument)
+            # when the 256^3 solve programs load after a full 128^3 session
+            # in the same process, regardless of jax.clear_caches()
+            import subprocess
+            import sys as _sys
+
+            p = subprocess.run(
+                [_sys.executable, __file__, "--size", "256",
+                 "--measure-only", "--tol", str(args.tol)],
+                capture_output=True, text=True, timeout=780,
+            )
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"rc={p.returncode}: {p.stderr.strip()[-400:]}")
+            m2 = json.loads(p.stdout.strip().splitlines()[-1])
             extra["256"] = {
                 "vcycle_ms": m2["vcycle_s"] * 1e3,
                 "dof_per_s": m2["dof_per_s"],
@@ -211,21 +258,9 @@ def main():
             extra["256"] = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- CPU-core-equivalent baseline (same size as the device headline:
-    # cache-resident small problems flatter the CPU — VERDICT r1 weak #9) ----
+    # cache-resident small problems flatter the CPU — VERDICT r1 weak #9;
+    # levels_csr was snapshotted above before the 256^3 measurement) ----
     cpu_size = size
-    hier_c = hier
-    levels_csr = []
-    for k, lv in enumerate(hier_c.levels):
-        entry = {"A": dia_to_scipy(lv.A).astype(np.float64)}
-        if lv.Pt is not None:
-            from raptor_tpu.structured.dia import dia_to_scipy as d2s
-            from raptor_tpu.structured.solver import _c_mask
-
-            cmask = _c_mask(lv.dims, lv.cdim)
-            Pt = d2s(lv.Pt).astype(np.float64)
-            entry["P"] = Pt[:, cmask]
-            entry["R"] = entry["P"].T.tocsr()
-        levels_csr.append(entry)
     bc = default_rhs(cpu_size**3, dtype=np.float64)
     cpu_cycle_s = scipy_vcycle_time(levels_csr, bc)
     cpu_dofs = cpu_size**3 / cpu_cycle_s

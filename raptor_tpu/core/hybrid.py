@@ -1,0 +1,190 @@
+"""Hybrid DIA+ELL layout for general (unstructured) matrices.
+
+Capability target (SURVEY.md §0 — the public RAPtor AMG library named by
+BASELINE.json:5; convergence spec = tests/oracle/amg_oracle.py): a
+competitive TPU SpMV for general CSR matrices — BASELINE.json:5 "CSR/BSR
+matrices become padded ELL/blocked-sparse layouts sized for the MXU".
+
+Why: the pure gather ELL SpMV (``ops.sparse_ops.spmv``) runs at
+~0.01 GDOF/s on TPU for non-grid matrices (docs/DESIGN.md §1) — TPU gathers
+from HBM are element-at-a-time.  The structured engine avoids gathers
+entirely (DIA planes, x read once), but needs a grid.  This module makes
+that trick general:
+
+1. **RCM bandwidth reduction** (host, setup-time): reorder rows/columns
+   with reverse Cuthill-McKee so the sparsity collapses into a band.  For
+   a shuffled Poisson matrix this recovers bandwidth O(n^(2/3)) from O(n).
+2. **Offset bucketing**: in the reordered matrix, bucket entries by their
+   diagonal offset ``col - row``.  Frequent offsets (>= ``min_fill`` of
+   rows) become dense DIA planes; the long tail spills into a narrow
+   gather ELL.  For banded matrices nearly every entry lands in a plane.
+3. **SpMV = DIA planes + spill**: the plane part is the structured
+   engine's kernel — ``jnp.roll`` per offset (XLA fuses the rolls into one
+   bandwidth-bound pass) or the fused Pallas kernel
+   (ops/pallas/dia_kernel.dia_spmv_pallas_v2, x read once per tile into
+   VMEM) on TPU; the spill is the ordinary gather ELL on a few slots.
+
+The permutation stays inside the container: ``hybrid_spmv`` takes and
+returns vectors in the ORIGINAL ordering, so the hybrid operator is a
+drop-in replacement for ``spmv(E, .)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raptor_tpu.core.ell import EllMatrix, pad_rows
+
+__all__ = ["HybridMatrix", "hybrid_from_ell", "hybrid_spmv"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["planes", "spill", "perm", "iperm"],
+    meta_fields=["offsets", "shape", "n_pad"],
+)
+@dataclasses.dataclass(frozen=True)
+class HybridMatrix:
+    planes: jax.Array  # (n_off, n_pad) diagonal planes in RCM ordering
+    spill: Optional[EllMatrix]  # remainder entries (RCM ordering), or None
+    perm: jax.Array  # (n_pad,) original index of RCM slot i
+    iperm: jax.Array  # (n_pad,) RCM slot of original index i
+    offsets: Tuple[int, ...]  # static linear offsets of the planes
+    shape: Tuple[int, int]
+    n_pad: int
+
+    @property
+    def dtype(self):
+        return self.planes.dtype
+
+    @property
+    def n_off(self) -> int:
+        return len(self.offsets)
+
+
+def hybrid_from_ell(
+    E: EllMatrix,
+    min_fill: float = 0.02,
+    max_offsets: int = 512,
+    reorder: bool = True,
+    pad_multiple: int = 128,
+) -> HybridMatrix:
+    """Host structure pass: RCM reorder + offset bucketing (see module doc).
+
+    ``min_fill``: an offset gets a dense plane when at least this fraction
+    of rows has an entry there (a plane costs n_pad values regardless of
+    fill; spill slots cost a gather each).  ``max_offsets`` caps plane
+    count (VMEM tiling in the Pallas route).
+    """
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.ell import ell_to_csr
+
+    a = ell_to_csr(E).tocsr()
+    n = a.shape[0]
+    n_pad = pad_rows(max(n, 1), pad_multiple)
+
+    if reorder:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        p = np.asarray(
+            reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
+        ).astype(np.int64)
+    else:
+        p = np.arange(n, dtype=np.int64)
+    ip = np.empty(n, dtype=np.int64)
+    ip[p] = np.arange(n)
+    ar = a[p][:, p].tocoo()
+
+    rows = ar.row.astype(np.int64)
+    cols = ar.col.astype(np.int64)
+    vals = ar.data
+    deltas = cols - rows
+
+    uniq, counts = np.unique(deltas, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    keep = [int(uniq[i]) for i in order[:max_offsets]
+            if counts[i] >= max(1, min_fill * n)]
+    keep.sort()
+    off_index = {d: k for k, d in enumerate(keep)}
+
+    planes = np.zeros((max(len(keep), 1), n_pad), dtype=np.asarray(E.data).dtype)
+    in_plane = np.isin(deltas, keep)
+    if len(keep):
+        k_idx = np.vectorize(off_index.__getitem__, otypes=[np.int64])(
+            deltas[in_plane]) if in_plane.any() else np.zeros(0, np.int64)
+        planes[k_idx, rows[in_plane]] = vals[in_plane]
+
+    spill = None
+    rem = ~in_plane
+    if rem.any():
+        s = sp.coo_matrix(
+            (vals[rem], (rows[rem], cols[rem])), shape=(n, n)
+        ).tocsr()
+        from raptor_tpu.core.ell import ell_from_csr
+
+        spill = ell_from_csr(s, dtype=np.asarray(E.data).dtype,
+                             row_pad_multiple=n_pad,
+                             identity_pad_rows=False)
+        if spill.n_cols_pad < n_pad:
+            spill = dataclasses.replace(spill, n_cols_pad=n_pad)
+
+    perm_pad = np.arange(n_pad, dtype=np.int32)
+    perm_pad[:n] = p
+    iperm_pad = np.arange(n_pad, dtype=np.int32)
+    iperm_pad[:n] = ip
+    return HybridMatrix(
+        planes=jnp.asarray(planes),
+        spill=spill,
+        perm=jnp.asarray(perm_pad),
+        iperm=jnp.asarray(iperm_pad),
+        offsets=tuple(keep) if keep else (0,),
+        shape=a.shape,
+        n_pad=n_pad,
+    )
+
+
+def _planes_spmv(planes, offsets: Tuple[int, ...], x: jax.Array) -> jax.Array:
+    """sum_k planes[k] * shift(x, offsets[k]) — Pallas fused kernel on TPU
+    (x read once per tile), XLA-fused rolls elsewhere."""
+    n = x.shape[0]
+    if (jax.default_backend() == "tpu" and n % 128 == 0 and n >= 32768
+            and x.dtype == jnp.float32):
+        try:
+            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
+
+            return dia_spmv_pallas_v2(planes, offsets, x)
+        except Exception:
+            pass
+    y = None
+    for k, d in enumerate(offsets):
+        # wraparound values are annihilated by the zero plane entries at the
+        # truncated boundary rows, so plain rolls suffice
+        xs = x if d == 0 else jnp.roll(x, -d)
+        t = planes[k] * xs
+        y = t if y is None else y + t
+    return y
+
+
+def hybrid_spmv_ro(H: HybridMatrix, xr: jax.Array) -> jax.Array:
+    """y = A_rcm @ x in the REORDERED space (the solve-loop form: the solver
+    permutes b once on entry and x once on exit, so per-iteration applies
+    pay zero gathers on the plane part)."""
+    from raptor_tpu.ops.sparse_ops import spmv
+
+    yr = _planes_spmv(H.planes, H.offsets, xr)
+    if H.spill is not None:
+        yr = yr + spmv(H.spill, xr)
+    return yr
+
+
+def hybrid_spmv(H: HybridMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x in the ORIGINAL ordering (permutation applied inside)."""
+    return jnp.take(hybrid_spmv_ro(H, jnp.take(x, H.perm, axis=0)),
+                    H.iperm, axis=0)

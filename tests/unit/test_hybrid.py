@@ -1,0 +1,65 @@
+"""Hybrid DIA+ELL layout (BASELINE.json:5 general-CSR capability): RCM +
+offset bucketing must reproduce the gather SpMV exactly on non-grid
+matrices."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raptor_tpu.core.ell import ell_from_csr
+from raptor_tpu.core.hybrid import hybrid_from_ell, hybrid_spmv
+from raptor_tpu.gallery import poisson_3d
+from raptor_tpu.ops import spmv
+
+
+def _shuffled_poisson(nx: int, seed: int = 0):
+    import scipy.sparse as sp
+
+    A = poisson_3d(nx)
+    rng = np.random.default_rng(seed)
+    p = rng.permutation(A.shape[0])
+    P = sp.coo_matrix(
+        (np.ones(len(p)), (np.arange(len(p)), p)), shape=A.shape
+    ).tocsr()
+    return (P @ A @ P.T).tocsr()
+
+
+@pytest.mark.parametrize("reorder", [True, False])
+def test_hybrid_matches_gather_spmv(reorder):
+    A = _shuffled_poisson(10)
+    E = ell_from_csr(A, dtype=np.float64)
+    H = hybrid_from_ell(E, reorder=reorder)
+    rng = np.random.default_rng(1)
+    n = A.shape[0]
+    x = rng.standard_normal(E.n_cols_pad)
+    x[n:] = 0
+    y_ref = np.asarray(spmv(E, jnp.asarray(x)))
+    xh = np.zeros(H.n_pad)
+    xh[:n] = x[:n]
+    y = np.asarray(hybrid_spmv(H, jnp.asarray(xh)))
+    assert np.allclose(y[:n], y_ref[:n], rtol=1e-13, atol=1e-13)
+
+
+def test_hybrid_rcm_captures_band():
+    """After RCM, the dominant offsets should capture most entries of a
+    shuffled Poisson matrix in planes (the whole point of the layout)."""
+    A = _shuffled_poisson(12)
+    E = ell_from_csr(A, dtype=np.float64)
+    H = hybrid_from_ell(E, min_fill=0.02, max_offsets=512)
+    n = A.shape[0]
+    planes_nnz = int(np.count_nonzero(np.asarray(H.planes)))
+    frac = planes_nnz / A.nnz
+    assert frac >= 0.5, f"planes capture only {frac:.1%} of entries"
+    # and the spill is narrow
+    if H.spill is not None:
+        assert H.spill.K <= E.K
+
+
+def test_hybrid_structured_matrix_is_pure_dia():
+    """An unshuffled Poisson matrix with reorder=False must bucket fully
+    into planes (7 offsets, no spill)."""
+    A = poisson_3d(8)
+    E = ell_from_csr(A, dtype=np.float64)
+    H = hybrid_from_ell(E, reorder=False)
+    assert H.spill is None
+    assert len(H.offsets) == 7
