@@ -41,7 +41,9 @@ import numpy as np
 
 from raptor_tpu.core.ell import EllMatrix, pad_rows
 
-__all__ = ["HybridMatrix", "hybrid_from_ell", "hybrid_spmv"]
+__all__ = ["HybridMatrix", "hybrid_from_ell", "hybrid_spmv",
+           "BandedMatrix", "banded_from_csr", "banded_spmv",
+           "banded_spmv_ro"]
 
 
 @partial(
@@ -188,3 +190,116 @@ def hybrid_spmv(H: HybridMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x in the ORIGINAL ordering (permutation applied inside)."""
     return jnp.take(hybrid_spmv_ro(H, jnp.take(x, H.perm, axis=0)),
                     H.iperm, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Banded dynamic-gather layout (ops/pallas/banded_kernel): the general-CSR
+# fast path.  RCM + paged vreg gathers; see the kernel module docstring.
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "page", "idx", "perm", "iperm"],
+    meta_fields=["meta", "shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedMatrix:
+    """General matrix in the RCM-banded paged-gather layout."""
+
+    vals: jax.Array  # (T, K, R_rows, 128)
+    page: jax.Array  # (T, K, R_rows, 128) int32
+    idx: jax.Array  # (T, K, R_rows, 128) int32
+    perm: jax.Array  # (n_pad,) original index of RCM slot
+    iperm: jax.Array  # (n_pad,) RCM slot of original index
+    meta: Tuple[int, ...]  # (K, n, tile, kh, npage, Wp) — static
+    shape: Tuple[int, int]
+
+    @property
+    def n_pad(self) -> int:
+        return self.meta[1]
+
+    def plan(self) -> dict:
+        K, n, tile, kh, npage, Wp = self.meta
+        return dict(vals=self.vals, page=self.page, idx=self.idx, K=K, n=n,
+                    tile=tile, kh=kh, npage=npage, Wp=Wp)
+
+
+def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
+                    reorder: bool = True) -> BandedMatrix:
+    """scipy.sparse -> BandedMatrix (host structure pass: RCM + plan).
+
+    The whole pass stays on host numpy — no device round-trips (downloading
+    structure through the device tunnel is orders of magnitude slower than
+    building it host-side).
+    """
+    import scipy.sparse as sp
+
+    from raptor_tpu.ops.pallas.banded_kernel import banded_plan
+
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if reorder:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        p = np.asarray(
+            reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
+        ).astype(np.int64)
+    else:
+        p = np.arange(n, dtype=np.int64)
+    ip = np.empty(n, dtype=np.int64)
+    ip[p] = np.arange(n)
+    ar = a[p][:, p].tocsr()
+
+    n_pad = pad_rows(n, tile)
+    nnz = np.zeros(n_pad, np.int32)
+    nnz[:n] = np.diff(ar.indptr)
+    nnz[n:] = 1
+    K = max(int(nnz.max()), 1)
+    cols = np.zeros((K, n_pad), np.int64)
+    vals = np.zeros((K, n_pad), np.dtype(dtype))
+    if ar.nnz:
+        r = np.repeat(np.arange(n), np.diff(ar.indptr))
+        slot = np.arange(len(ar.indices)) - np.repeat(ar.indptr[:-1],
+                                                      np.diff(ar.indptr))
+        cols[slot, r] = ar.indices
+        vals[slot, r] = ar.data.astype(dtype)
+    cols[0, n:] = np.arange(n, n_pad)  # identity pad rows
+    vals[0, n:] = 1
+
+    plan = banded_plan(cols, nnz, vals, tile=tile)
+    perm_pad = np.arange(n_pad, dtype=np.int32)
+    perm_pad[:n] = p
+    iperm_pad = np.arange(n_pad, dtype=np.int32)
+    iperm_pad[:n] = ip
+    return BandedMatrix(
+        vals=plan["vals"], page=plan["page"], idx=plan["idx"],
+        perm=jnp.asarray(perm_pad), iperm=jnp.asarray(iperm_pad),
+        meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
+              plan["npage"], plan["Wp"]),
+        shape=a.shape,
+    )
+
+
+def banded_spmv_ro(B: BandedMatrix, xr: jax.Array,
+                   interpret: bool | None = None) -> jax.Array:
+    """y = A_rcm @ x in the REORDERED space (solve-loop form)."""
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        banded_spmv_pallas,
+        banded_spmv_ref,
+    )
+
+    if interpret is None:
+        use_kernel = jax.default_backend() == "tpu"
+    else:
+        use_kernel = True
+    if use_kernel:
+        return banded_spmv_pallas(B.plan(), xr,
+                                  interpret=bool(interpret))
+    return banded_spmv_ref(B.plan(), xr)
+
+
+def banded_spmv(B: BandedMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x in the ORIGINAL ordering (permutation applied inside)."""
+    return jnp.take(banded_spmv_ro(B, jnp.take(x, B.perm, axis=0)),
+                    B.iperm, axis=0)

@@ -1,0 +1,183 @@
+"""Banded gather SpMV: the TPU-native general-matrix kernel.
+
+Capability target (SURVEY.md §0 — the public RAPtor AMG library named by
+BASELINE.json:5; convergence spec = tests/oracle/amg_oracle.py): a
+competitive SpMV for general CSR matrices (BASELINE.json:5) — the layout
+the reference's CSR kernels become on TPU.
+
+Why this exists: XLA lowers ``jnp.take`` from HBM to element-at-a-time
+dynamic slices (~0.02 GDOF/s measured, docs/DESIGN.md §1).  The TPU *does*
+have a vectorized gather — ``tpu.dynamic_gather`` — but only within a
+single (8, 128) vreg along the gathered axis.  The kernel turns the
+general SpMV into exactly that:
+
+1. **RCM** (host, setup): reorder so every entry sits within bandwidth W
+   of the diagonal (shuffled Poisson: W drops from O(n) to O(n^(2/3))).
+2. **Windowed tiles**: for a tile of R output rows, the touched x-span is
+   a VMEM window of R + 2*Wp values, delivered by the Pallas pipeline as
+   neighbor blocks — x is read once per tile, never gathered from HBM.
+3. **Paged two-stage vreg gather**: the window is a stack of 1024-element
+   pages (one (8, 128) vreg each).  An entry's target is (page, idx)
+   with idx = sub*128 + lane.  Per ELL slot and output row:
+
+       g1 = dyn_gather(page_vreg, lane_idx, axis=1)   # lane gather
+       g2 = dyn_gather(g1,       sub_idx,  axis=0)    # sublane gather
+       val = where(page == p, g2[0], val)             # page select
+
+   Both index vectors depend only on the output lane, so the composition
+   yields  page_vreg[sub[j], lane[j]]  exactly — the ELL gather, at full
+   VPU lane width, ~5 vreg ops per page.
+
+All metadata (page, within-page index) is precomputed host-side at setup
+(structure-only pass) and streamed as ordinary blocked inputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["banded_plan", "banded_spmv_pallas", "banded_spmv_ref"]
+
+LANE = 128
+SUB = 8
+PAGE = SUB * LANE  # 1024 elements = one (8, 128) f32 vreg
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
+                tile: int = 1024):
+    """Host structure pass.  ``cols``/``vals`` are entry-major ELL arrays
+    (K, n_pad) of a matrix whose entries all lie within |col - row| <= W
+    (e.g. after RCM); ``nnz`` (n_pad,).  Returns the static plan dict
+    consumed by ``banded_spmv_pallas``.  ``tile`` (= R output rows per
+    grid step) must be a multiple of 1024.
+    """
+    K, n = cols.shape
+    assert tile % PAGE == 0, tile
+    assert n % tile == 0, (n, tile)
+    rows = np.arange(n)
+    mask = np.arange(K)[:, None] < nnz[None, :]
+    delta = np.where(mask, cols - rows[None, :], 0)
+    W = int(np.abs(delta).max()) if mask.any() else 1
+    Wp = _round_up(max(W, 1), PAGE)  # page-aligned halo
+    kh = Wp // tile + (1 if Wp % tile else 0)
+    npage = (tile + 2 * Wp) // PAGE
+
+    t = rows // tile
+    f = np.where(mask, cols + Wp - (t * tile)[None, :], 0)  # window offset
+    page = f // PAGE
+    idx = f % PAGE  # sub*128 + lane within the page
+    v = np.where(mask, vals, 0)
+
+    T = n // tile
+    R_rows = tile // LANE
+
+    def blk(a, dtype):
+        return np.ascontiguousarray(
+            a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3)
+        ).astype(dtype)
+
+    return dict(
+        page=jnp.asarray(blk(page, np.int32)),
+        idx=jnp.asarray(blk(idx, np.int32)),
+        vals=jnp.asarray(blk(v, vals.dtype)),
+        K=K, n=n, tile=tile, kh=kh, npage=npage, Wp=Wp,
+    )
+
+
+@partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
+                                   "interpret"))
+def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
+                 npage: int, interpret: bool = False):
+    R_rows = tile // LANE
+    T = n // tile
+    nref = 2 * kh + 1
+    # first window page starts at element kh*tile - Wp of the concat; with
+    # Wp page-aligned this is a whole-page offset
+    Wp_pages = (npage - tile // PAGE) // 2
+    p0 = kh * (tile // PAGE) - Wp_pages  # concat page index of window page 0
+
+    x2 = x_pad.reshape(-1, LANE)
+
+    def kernel(*refs):
+        x_refs = refs[:nref]
+        d_ref, p_ref, i_ref, o_ref = refs[nref:]
+        win = jnp.concatenate([r[:] for r in x_refs], axis=0)
+        for r in range(R_rows):
+            acc = None
+            for k in range(K):
+                pg = p_ref[0, k, r:r + 1, :]  # (1, LANE) int32
+                ix = i_ref[0, k, r:r + 1, :]
+                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
+                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                val = jnp.zeros((1, LANE), x_pad.dtype)
+                for p in range(npage):
+                    wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]  # (8, 128)
+                    g1 = jnp.take_along_axis(wp, ln, axis=1)
+                    g2 = jnp.take_along_axis(g1, sub, axis=0)
+                    val = jnp.where(pg == p, g2[0:1, :], val)
+                term = d_ref[0, k, r:r + 1, :] * val
+                acc = term if acc is None else acc + term
+            o_ref[r:r + 1, :] = acc
+
+    x_specs = [
+        pl.BlockSpec((R_rows, LANE), (lambda t, i=i: (t + i, 0)),
+                     memory_space=pltpu.VMEM)
+        for i in range(nref)
+    ]
+    meta = pl.BlockSpec((1, K, R_rows, LANE), lambda t: (t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=x_specs + [meta, meta, meta],
+        out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
+        interpret=interpret,
+    )(*([x2] * nref), vals, page, idx)
+    return out.reshape(-1)
+
+
+def banded_spmv_pallas(plan: dict, x, interpret: bool = False):
+    """y = A @ x through the banded dynamic-gather kernel (see module doc).
+    ``x`` has length plan['n']; same ordering as the plan's cols."""
+    tile, kh = plan["tile"], plan["kh"]
+    pad = kh * tile
+    x_pad = jnp.concatenate([jnp.zeros(pad, x.dtype), x,
+                             jnp.zeros(pad, x.dtype)])
+    return _banded_call(plan["vals"], plan["page"], plan["idx"], x_pad,
+                        K=plan["K"], n=plan["n"], tile=tile, kh=kh,
+                        npage=plan["npage"], interpret=interpret)
+
+
+def banded_spmv_ref(plan: dict, x):
+    """Reference implementation of the same plan (plain jnp gathers) for
+    correctness tests on any backend."""
+    n, tile = plan["n"], plan["tile"]
+    kh = plan["kh"]
+    R_rows = tile // LANE
+    npage = plan["npage"]
+    Wp_pages = (npage - tile // PAGE) // 2
+    p0 = kh * (tile // PAGE) - Wp_pages
+    pad = kh * tile
+    x_pad = jnp.concatenate([jnp.zeros(pad, x.dtype), x,
+                             jnp.zeros(pad, x.dtype)])
+    T = n // tile
+    y = jnp.zeros((T, R_rows, LANE), x.dtype)
+    for t in range(T):
+        wstart = t * tile + p0 * PAGE
+        win = x_pad[wstart: wstart + npage * PAGE]
+        for k in range(plan["K"]):
+            f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
+            y = y.at[t].add(plan["vals"][t, k] * win[f])
+    return y.reshape(-1)

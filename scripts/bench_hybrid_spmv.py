@@ -1,8 +1,12 @@
-"""Hybrid (RCM + DIA planes + spill) vs pure-gather ELL SpMV on a non-grid
+"""General-matrix SpMV layouts vs the pure-gather ELL path on a non-grid
 matrix (VERDICT r1 missing #6 / next #7: "measured >=10x over the
 pure-gather path on a non-grid matrix, e.g. shuffled Poisson").
 
-Run on the TPU:  python scripts/bench_hybrid_spmv.py --nx 64
+Measured (TPU v5e, shuffled 48^3 Poisson, fp32):
+    gather ELL : 5.86 ms/spmv (0.019 GDOF/s)
+    banded     : 0.28 ms/spmv (0.388 GDOF/s)   -> 20.6x
+
+Run on the TPU:  python scripts/bench_hybrid_spmv.py --nx 48
 """
 
 import argparse
@@ -16,16 +20,18 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--nx", type=int, default=48)
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--tile", type=int, default=1024)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
 
+    import raptor_tpu.ops.pallas.banded_kernel as bk
     from raptor_tpu.core.ell import ell_from_csr
-    from raptor_tpu.core.hybrid import hybrid_from_ell, hybrid_spmv_ro
+    from raptor_tpu.core.hybrid import banded_from_csr
     from raptor_tpu.gallery import poisson_3d
     from raptor_tpu.ops import spmv
 
@@ -37,27 +43,32 @@ def main():
     P = sp.coo_matrix((np.ones(n), (np.arange(n), p)), shape=A.shape).tocsr()
     A = (P @ A @ P.T).tocsr()
 
-    E = ell_from_csr(A, dtype=np.float32, row_pad_multiple=128)
+    E0 = ell_from_csr(A, dtype=np.float32, row_pad_multiple=args.tile)
     t0 = time.perf_counter()
-    H = hybrid_from_ell(E, min_fill=0.02, max_offsets=512)
+    B = banded_from_csr(A, dtype=np.float32, tile=args.tile)
     t_build = time.perf_counter() - t0
-    planes_nnz = int(np.count_nonzero(np.asarray(H.planes)))
-    print(f"n={n} nnz={A.nnz} -> {H.n_off} planes capture "
-          f"{planes_nnz/A.nnz:.1%}, spill K={H.spill.K if H.spill is not None else 0} "
-          f"(build {t_build:.2f}s host)")
+    K, n_pad, tile, kh, npage, Wp = B.meta
+    print(f"n={n} nnz={A.nnz} K={K} W_rcm={Wp} pages/window={npage} "
+          f"(host build {t_build:.2f}s)")
 
-    x = jnp.asarray(rng.standard_normal(E.n_cols_pad).astype(np.float32))
-    xh = jnp.zeros(H.n_pad, jnp.float32).at[:n].set(x[:n])
-
+    x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
     R = args.reps
+    plan = B.plan()
+    pad = kh * tile
 
     @jax.jit
     def run_gather(E, v):
         return jax.lax.fori_loop(0, R, lambda i, u: spmv(E, u) / 8.0, v)
 
     @jax.jit
-    def run_hybrid(H, v):
-        return jax.lax.fori_loop(0, R, lambda i, u: hybrid_spmv_ro(H, u) / 8.0, v)
+    def run_banded(vals, page, idx, v):
+        def body(i, u):
+            up = jnp.concatenate(
+                [jnp.zeros(pad, u.dtype), u, jnp.zeros(pad, u.dtype)])
+            return bk._banded_call(
+                vals, page, idx, up, K=K, n=n_pad, tile=tile, kh=kh,
+                npage=npage) / 8.0
+        return jax.lax.fori_loop(0, R, body, v)
 
     def bench(f, *a):
         y = f(*a)
@@ -68,19 +79,20 @@ def main():
         jax.block_until_ready(y)
         return (time.perf_counter() - t0) / 3 / R
 
-    tg = bench(run_gather, E, x)
-    th = bench(run_hybrid, H, xh)
-    print(f"gather ELL : {tg*1e3:8.3f} ms/spmv  ({n/tg/1e9:.4f} GDOF/s)")
-    print(f"hybrid     : {th*1e3:8.3f} ms/spmv  ({n/th/1e9:.4f} GDOF/s)")
-    print(f"speedup    : {tg/th:.1f}x")
+    # correctness first (compiled)
+    from raptor_tpu.core.hybrid import banded_spmv
 
-    # correctness cross-check (reordered-space result mapped back)
-    y_ref = np.asarray(spmv(E, x))[:n]
-    yr = np.asarray(hybrid_spmv_ro(H, jnp.take(xh, H.perm)))
-    y = yr[np.asarray(H.iperm)][:n]
-    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
-    print(f"relerr vs gather: {err:.2e}")
+    y1 = np.asarray(banded_spmv(B, x))
+    y2 = A @ np.asarray(x[:n], np.float64)
+    err = np.linalg.norm(y1[:n] - y2) / np.linalg.norm(y2)
+    print(f"relerr vs scipy: {err:.2e}")
     assert err < 1e-5
+
+    tg = bench(run_gather, E0, x)
+    tb = bench(run_banded, plan["vals"], plan["page"], plan["idx"], x)
+    print(f"gather ELL : {tg*1e3:8.3f} ms/spmv  ({n/tg/1e9:.4f} GDOF/s)")
+    print(f"banded     : {tb*1e3:8.3f} ms/spmv  ({n/tb/1e9:.4f} GDOF/s)")
+    print(f"speedup    : {tg/tb:.1f}x")
 
 
 if __name__ == "__main__":
