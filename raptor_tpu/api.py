@@ -32,7 +32,61 @@ def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hierarchy:
         from raptor_tpu.setup.aggregation import build_sa_hierarchy
 
         return build_sa_hierarchy(A, config, dtype=dtype)
+    if config.fine_layout == "banded":
+        return _setup_banded(A, config, dtype)
     return build_hierarchy(A, config, dtype=dtype)
+
+
+# levels below this stay on the scalar ELL path: tiny operators are
+# latency-bound, the banded layout pays off where the gather volume does
+BANDED_MIN_N = 8192
+
+
+def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
+    """fine_layout='banded' (BASELINE.json:5 general CSR): RCM the input
+    once, build the hierarchy in that ordering (1024-aligned padding so
+    every level is banded-tileable), and attach a BandedMatrix layout to
+    each large level.  P/R and all vectors stay in the one RCM ordering —
+    only the operator *apply* changes."""
+    import dataclasses
+
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from raptor_tpu.core.ell import ell_from_csr, ell_to_csr
+    from raptor_tpu.core.hybrid import banded_from_csr
+
+    assert not isinstance(A, EllMatrix), "fine_layout='banded' takes scipy input"
+    a = sp.csr_matrix(A)
+    n = a.shape[0]
+    p = np.asarray(
+        reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
+    ).astype(np.int64)
+    ar = a[p][:, p].tocsr()
+
+    pm_mult = int(np.lcm(config.pad_multiple, 1024))
+    E = ell_from_csr(ar, dtype=dtype, row_pad_multiple=pm_mult)
+    cfg = dataclasses.replace(config, pad_multiple=pm_mult)
+    hier = build_hierarchy(E, cfg, dtype=dtype)
+
+    levels = []
+    for lev in hier.levels:
+        if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
+            B = banded_from_csr(ell_to_csr(lev.A), dtype=np.dtype(lev.A.dtype),
+                                reorder=False)
+            if B.n_pad == lev.A.n_rows_pad:
+                lev = dataclasses.replace(lev, Aband=B)
+        levels.append(lev)
+
+    n_pad = hier.levels[0].A.n_rows_pad
+    perm = np.arange(n_pad, dtype=np.int32)
+    perm[:n] = p
+    iperm = np.arange(n_pad, dtype=np.int32)
+    iperm[:n][p] = np.arange(n)
+    return dataclasses.replace(
+        hier, levels=tuple(levels),
+        perm=jnp.asarray(perm), iperm=jnp.asarray(iperm),
+    )
 
 
 @partial(jax.jit, static_argnames=("maxiter", "outer"))
@@ -174,6 +228,15 @@ def solve(
     A0 = hier.levels[0].A
     n = A0.shape[0]
     b = np.asarray(b, dtype=np.float64)
+    pm = None
+    if hier.perm is not None:
+        # fine_layout='banded': the hierarchy lives in the RCM ordering —
+        # permute the rhs in, the solution back out (and, for host-side
+        # refinement, the residual matrix too)
+        pm = np.asarray(hier.perm)[:n]
+        b = b[pm]
+        if A_sp is not None:
+            A_sp = A_sp[pm][:, pm].tocsr()
 
     if not solve_config.refine:
         bd = pad_vector(b.astype(dtype), A0.n_rows_pad)
@@ -181,7 +244,7 @@ def solve(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
             krylov=config_krylov(solve_config),
         )
-        return _finish(x, info, n, hier)
+        return _finish(x, info, n, hier, pm)
 
     if solve_config.refine_device and solve_config.krylov == "cg":
         # fully on-device refinement with compensated-fp32 residuals;
@@ -197,6 +260,7 @@ def solve(
         )
         x64 = (np.asarray(xh[:n], np.float64)
                + np.asarray(xl[:n], np.float64))
+        x64 = _deperm(x64, pm)
         return x64, {
             "iterations": int(iters),
             "relres": float(relres),
@@ -233,14 +297,24 @@ def solve(
         "status": int(info.status) if info is not None else 0,
         "stats": hierarchy_stats(hier),
     }
-    return x64, out_info
+    return _deperm(x64, pm), out_info
 
 
 def config_krylov(sc: SolveConfig) -> str:
     return sc.krylov
 
 
-def _finish(x, info, n, hier):
+def _deperm(x, pm):
+    """Map a solution from the hierarchy's (RCM) ordering back to the
+    caller's ordering; identity when pm is None."""
+    if pm is None:
+        return x
+    out = np.empty_like(x)
+    out[pm] = x
+    return out
+
+
+def _finish(x, info, n, hier, pm=None):
     out_info = {
         "iterations": int(info.iterations),
         "relres": float(info.relres),
@@ -248,4 +322,4 @@ def _finish(x, info, n, hier):
         "res_hist": np.asarray(info.res_hist),
         "stats": hierarchy_stats(hier),
     }
-    return np.asarray(x[:n]), out_info
+    return _deperm(np.asarray(x[:n]), pm), out_info

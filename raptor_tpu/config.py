@@ -56,6 +56,11 @@ class AmgConfig:
     # row padding multiple; the distributed path builds with 8*ndev so every
     # level's padded size divides the device count (SURVEY.md §2b C19)
     pad_multiple: int = 8
+    # operator layout for the solve path ('ell' | 'banded'):
+    # 'banded' RCM-reorders the input and re-lays each large level as a
+    # BandedMatrix (core/hybrid.py) — the paged dynamic-gather Pallas
+    # kernel, ~20x the gather ELL SpMV on non-grid matrices
+    fine_layout: str = "ell"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,7 +43,7 @@ __all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax", "Abell",
-                 "binv"],
+                 "binv", "Aband"],
     meta_fields=["n", "ncolors"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -63,11 +63,16 @@ class Level:
     # the solve path then applies A and the smoother through b x b blocks
     Abell: Optional["object"] = None  # BlockEllMatrix
     binv: Optional[jax.Array] = None  # (nb_pad, b, b) diag-block inverses
+    # banded layout (BASELINE.json:5 general CSR): present when the level
+    # carries a BandedMatrix re-laying of A (fine_layout='banded'; the
+    # whole hierarchy lives in the fine level's RCM ordering, so the
+    # per-level layouts use identity perms and P/R are untouched)
+    Aband: Optional["object"] = None  # core.hybrid.BandedMatrix
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv"],
+    data_fields=["levels", "coarse_inv", "perm", "iperm"],
     meta_fields=["config"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +80,11 @@ class Hierarchy:
     levels: Tuple[Level, ...]
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
     config: AmgConfig
+    # fine_layout='banded': the hierarchy lives in the RCM ordering of the
+    # input; perm maps RCM slot -> original index (api.solve permutes the
+    # rhs in and the solution out).  None for identity ordering.
+    perm: Optional[jax.Array] = None
+    iperm: Optional[jax.Array] = None
 
     @property
     def num_levels(self) -> int:

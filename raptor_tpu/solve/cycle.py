@@ -28,19 +28,79 @@ __all__ = ["cycle", "make_preconditioner"]
 
 
 def apply_op(lev: Level, x):
-    """A @ x through the level's block layout when present (BASELINE.json:5
-    blocked-sparse layouts sized for the MXU), else the scalar ELL path."""
+    """A @ x through the level's fast layout when present — BlockELL
+    (BASELINE.json:5 blocked-sparse layouts sized for the MXU) or the
+    banded dynamic-gather layout (general CSR) — else the scalar ELL path.
+    All layouts share the level's vector ordering, so this is a drop-in."""
     if lev.Abell is not None:
         from raptor_tpu.core.bell import bell_spmv
 
         return bell_spmv(lev.Abell, x)
+    if lev.Aband is not None:
+        from raptor_tpu.core.hybrid import banded_spmv_ro
+
+        return banded_spmv_ro(lev.Aband, x)
     return spmv(lev.A, x)
+
+
+def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
+    """Scalar smoothers expressed against an operator-apply closure ``sp``
+    (mirrors parallel.dist._dist_smooth) — used when the level's operator
+    runs through a fast layout instead of the scalar ELL."""
+    sweeps = cfg.nu2 if backward else cfg.nu1
+    if sweeps == 0:
+        return x
+    if cfg.smoother == "jacobi":
+        for _ in range(sweeps):
+            x = x + cfg.omega * lev.dinv * (b - sp(x))
+        return x
+    if cfg.smoother == "mcgs":
+        order = list(range(lev.ncolors))
+        if backward:
+            order.reverse()
+        for _ in range(sweeps):
+            for c in order:
+                r = b - sp(x)
+                x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
+        return x
+    if cfg.smoother == "chebyshev":
+        lmax = lev.cheb_lmax
+        lmin = lmax / 30.0
+        d = (lmax + lmin) / 2
+        c = (lmax - lmin) / 2
+        p = jnp.zeros_like(x)
+        alpha = jnp.zeros_like(d)
+        for i in range(cfg.cheb_degree):
+            z = lev.dinv * (b - sp(x))
+            if i == 0:
+                p, alpha = z, 1.0 / d
+            else:
+                beta = (c * alpha / 2) ** 2
+                alpha = 1.0 / (d - beta / alpha)
+                p = z + beta * p
+            x = x + alpha * p
+        return x
+    if cfg.smoother == "cheb4":
+        r = b - sp(x)
+        d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
+        x = x + d
+        for k in range(2, cfg.cheb_degree + 1):
+            r = r - sp(d)
+            d = ((2 * k - 3) / (2 * k + 1)) * d + (
+                (8 * k - 4) / (2 * k + 1) / lev.cheb_lmax
+            ) * (lev.dinv * r)
+            x = x + d
+        return x
+    raise ValueError(f"unknown smoother for banded layout: {cfg.smoother}")
 
 
 def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
+    if lev.Aband is not None:
+        return _smooth_sp(lev, cfg, b, x, backward,
+                          sp=lambda v: apply_op(lev, v))
     if cfg.smoother == "block_jacobi":
         if lev.Abell is None:  # level without block alignment: scalar Jacobi
             return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega,

@@ -74,3 +74,25 @@ def test_banded_compiled_tpu():
     y = np.asarray(banded_spmv(B, jnp.asarray(x)))
     y_ref = A @ x[:n].astype(np.float64)
     assert np.allclose(y[:n], y_ref, rtol=1e-5, atol=1e-5 * np.abs(y_ref).max())
+
+
+def test_banded_solve_path():
+    """fine_layout='banded': the full solve() runs with the banded layout
+    on large levels, converges to 1e-8, and returns the solution in the
+    caller's ordering (perm plumbing round-trips)."""
+    from raptor_tpu import AmgConfig, SolveConfig
+    from raptor_tpu.api import setup, solve
+    from raptor_tpu.gallery import default_rhs
+
+    A = _shuffled_poisson(21)  # 9261 >= BANDED_MIN_N
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", smoother="cheb4",
+                    fine_layout="banded")
+    hier = setup(A, cfg, dtype=np.float64)
+    assert hier.perm is not None
+    assert hier.levels[0].Aband is not None
+    x, info = solve(A, b, cfg, SolveConfig(dtype="float64", maxiter=100),
+                    hier=hier)
+    assert info["relres"] <= 1e-8
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
