@@ -25,9 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dia_spmv_pallas", "supports_pallas"]
+__all__ = ["dia_spmv_pallas", "dia_spmv_pallas_v2", "supports_pallas"]
 
 LANE = 128
+SUBLANE = 8  # f32 sublane granularity: VMEM buffers need row counts %8 == 0
+# (observed: a scratch window with rows % 8 != 0 crashes the TPU worker at
+# runtime — this, plus the 27-offset scoped-VMEM OOM, was the entirety of
+# round 1's "composed V-cycle fault")
 
 
 def _round_up(x, m):
@@ -42,7 +46,7 @@ def supports_pallas() -> bool:
 def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = False):
     n_off, n = data.shape
     H = max(abs(l) for l in lins) if lins else 0
-    Hp = _round_up(max(H, 1), LANE)
+    Hp = _round_up(max(H, 1), SUBLANE * LANE)  # must match dia_spmv_pallas
     HpR = Hp // LANE
     R = tile // LANE  # rows per tile
     grid = n // tile
@@ -93,6 +97,36 @@ def _dia_pallas_call(data, x_pad, lins: tuple, tile: int, interpret: bool = Fals
     return out.reshape(-1)
 
 
+# leave headroom under the 16 MiB/core scoped-VMEM limit for compiler
+# spills/alignment (the hard limit manifests as a compile-time OOM)
+VMEM_BUDGET = 13 * 2**20
+
+
+def _pick_tile(n: int, n_off: int, HpR: int, data_itemsize: int,
+               x_itemsize: int, tile_cap: int) -> int:
+    """Largest lane-aligned tile dividing n whose VMEM footprint fits.
+
+    Footprint per grid step (the round-1 'composed V-cycle fault' was exactly
+    this budget blowing past 16 MiB at 27 offsets — a compile-time scoped-vmem
+    OOM, not a Mosaic bug):
+      pipeline double-buffers the data block  2 * n_off * R * 128 * ds
+      and the output block                    2 * R * 128 * xs
+      plus the single-buffered halo window    (R + 2*HpR) * 128 * xs
+    """
+    bpr_d = LANE * data_itemsize
+    bpr_x = LANE * x_itemsize
+    denom = 2 * n_off * bpr_d + 3 * bpr_x
+    R_max = (VMEM_BUDGET - 2 * HpR * bpr_x) // denom
+    tile = min(tile_cap, n)
+    min_tile = SUBLANE * LANE  # R must stay a multiple of SUBLANE
+    while tile >= min_tile and (n % tile != 0 or tile // LANE > R_max):
+        tile //= 2
+    if tile < min_tile:
+        raise ValueError(
+            f"no viable VMEM tile: n={n}, n_off={n_off}, halo_rows={HpR}")
+    return tile
+
+
 def dia_spmv_pallas(data, offsets_lin, x, tile: int = 65536, interpret: bool = False):
     """y = DIA-spmv via the fused Pallas kernel.
 
@@ -101,13 +135,126 @@ def dia_spmv_pallas(data, offsets_lin, x, tile: int = 65536, interpret: bool = F
     n_off, n = data.shape
     lins = tuple(int(l) for l in offsets_lin)
     H = max(abs(l) for l in lins) if lins else 0
-    Hp = _round_up(max(H, 1), LANE)
-    tile = min(tile, n)
-    while n % tile != 0:  # shrink to a divisor (n is lane-padded upstream)
-        tile //= 2
-        if tile < LANE:
-            raise ValueError(f"cannot tile n={n}")
+    # halo rounded to SUBLANE*LANE so the scratch window's row count stays a
+    # multiple of the sublane granularity (rows % 8 != 0 faults the worker)
+    Hp = _round_up(max(H, 1), SUBLANE * LANE)
+    tile = _pick_tile(n, n_off, Hp // LANE, data.dtype.itemsize,
+                      x.dtype.itemsize, tile)
     x_pad = jnp.concatenate(
         [jnp.zeros(Hp, x.dtype), x, jnp.zeros(Hp, x.dtype)]
     )
     return _dia_pallas_call(data, x_pad, lins, tile, interpret)
+
+
+# ---------------------------------------------------------------------------
+# v2: pipeline-managed neighbor blocks — no manual DMA, no scratch window.
+# The v1 manual-DMA kernel runs correctly for few-offset operators but
+# crashes the TPU worker at runtime for >=15-offset sets (root cause in
+# Mosaic not pinned down; sublane alignment of the window alone did not fix
+# it).  v2 stays on the most-exercised Pallas path: every input block is a
+# standard blocked BlockSpec (x appears 2*kh+1 times at neighbor block
+# indices), the halo window is a static concatenation of resident blocks,
+# and lane shifts use pltpu.roll + select instead of lane-axis concatenation.
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile_v2(n: int, n_off: int, HpR: int, ds: int, xs: int,
+                  tile_cap: int):
+    """(tile, kh): rows per tile and neighbor reach, VMEM-budgeted.
+
+    Footprint: data block 2*n_off*R*128*ds, x blocks 2*(2kh+1)*R*128*xs,
+    out 2*R*128*xs, window copy (R+2*HpR)*128*xs.
+    """
+    bpr_d = LANE * ds
+    bpr_x = LANE * xs
+    tile = min(tile_cap, n)
+    # bf16 data blocks need 16-row sublane granularity (f32: 8)
+    min_tile = (16 if ds == 2 else SUBLANE) * LANE
+    while tile >= min_tile:
+        R = tile // LANE
+        kh = -(-HpR // R)
+        cost = (2 * n_off * R * bpr_d + 2 * (2 * kh + 1) * R * bpr_x
+                + 2 * R * bpr_x + (R + 2 * HpR) * bpr_x)
+        if n % tile == 0 and cost <= VMEM_BUDGET:
+            return tile, kh
+        tile //= 2
+    raise ValueError(
+        f"no viable VMEM tile: n={n}, n_off={n_off}, halo_rows={HpR}")
+
+
+@partial(jax.jit, static_argnames=("lins", "tile", "kh", "interpret"))
+def _dia_pallas_call_v2(data, x_pad, lins: tuple, tile: int, kh: int,
+                        interpret: bool = False):
+    n_off, n = data.shape
+    H = max(abs(l) for l in lins) if lins else 0
+    Hp = _round_up(max(H, 1), SUBLANE * LANE)
+    HpR = Hp // LANE
+    R = tile // LANE
+    grid = n // tile
+    nblk = 2 * kh + 1
+
+    x2 = x_pad.reshape(-1, LANE)  # (grid*R, LANE) — no halo padding: see
+    # x_specs (clamped neighbor indices; truncated diagonals annihilate)
+    d3 = data.reshape(n_off, n // LANE, LANE)
+
+    def kernel(*refs):
+        x_refs = refs[:nblk]
+        d_ref, o_ref = refs[nblk], refs[nblk + 1]
+        # assemble the halo window from the resident neighbor blocks:
+        # rows [kh*R - HpR, kh*R + R + HpR) of the concatenated blocks
+        lo = kh * R - HpR
+        win = jnp.concatenate([r[:] for r in x_refs], axis=0)[
+            lo: lo + R + 2 * HpR
+        ]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+        acc = None
+        for k, lin in enumerate(lins):
+            q, c = divmod(Hp + lin, LANE)
+            if c == 0:
+                seg = win[q:q + R, :]
+            else:
+                # left-rotate by c == roll by LANE-c (pltpu.roll needs >=0)
+                xl = pltpu.roll(win[q:q + R, :], LANE - c, axis=1)
+                xr = pltpu.roll(win[q + 1:q + 1 + R, :], LANE - c, axis=1)
+                seg = jnp.where(lane < LANE - c, xl, xr)
+            term = d_ref[k].astype(seg.dtype) * seg
+            acc = term if acc is None else acc + term
+        o_ref[:, :] = acc
+
+    # neighbor blocks t-kh..t+kh, CLAMPED at the array edge instead of
+    # materializing a zero-padded copy of x per call (the copy was ~30% of
+    # the 256^3 V-cycle): out-of-range window positions then hold wrong
+    # values, but every such position corresponds to a column outside
+    # [0, n) whose diagonal entry is zero by construction — annihilated.
+    x_specs = [
+        pl.BlockSpec(
+            (R, LANE),
+            (lambda t, i=i: (jnp.clip(t + i - kh, 0, grid - 1), 0)),
+            memory_space=pltpu.VMEM)
+        for i in range(nblk)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=x_specs + [
+            pl.BlockSpec((n_off, R, LANE), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, LANE), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
+        interpret=interpret,
+    )(*([x2] * nblk), d3)
+    return out.reshape(-1)
+
+
+def dia_spmv_pallas_v2(data, offsets_lin, x, tile: int = 65536,
+                       interpret: bool = False):
+    """y = DIA-spmv, neighbor-block pipelined kernel (see block comment)."""
+    n_off, n = data.shape
+    lins = tuple(int(l) for l in offsets_lin)
+    H = max(abs(l) for l in lins) if lins else 0
+    Hp = _round_up(max(H, 1), SUBLANE * LANE)
+    tile, kh = _pick_tile_v2(n, n_off, Hp // LANE, data.dtype.itemsize,
+                             x.dtype.itemsize, tile)
+    return _dia_pallas_call_v2(data, x, lins, tile, kh, interpret)

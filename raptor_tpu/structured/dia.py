@@ -194,12 +194,29 @@ def dia_to_scipy(A: DiaMatrix):
     ).tocsr()
 
 
-# Route dia_spmv through the fused Pallas kernel (ops/pallas/dia_kernel)
-# when set; resolved at trace time.  XLA's roll fusion is near the bandwidth
-# floor for few-offset operators, the Pallas kernel reads x once regardless
-# of offset count — enable for many-offset (coarse) operators on real TPU.
-USE_PALLAS: bool = False
-PALLAS_MIN_OFFSETS: int = 0
+# Route dia_spmv through the fused Pallas kernel (ops/pallas/dia_kernel v2:
+# pipelined neighbor blocks, lane rolls).  Resolved at trace time.  Measured
+# on TPU v5e (scripts/bench_spmv_variants.py): 1.4x over XLA rolls at 128^3
+# 7-offset, 2.4x at 256^3 — XLA's per-roll materialization stops fusing at
+# scale.  ``None`` = auto (on when the default backend is TPU); set True /
+# False to force.  Levels below PALLAS_MIN_N fall back to rolls (tiny grids
+# are latency-bound; also keeps non-tileable shapes on the safe path).
+USE_PALLAS: bool | None = None
+PALLAS_MIN_N: int = 32768
+# constant-stencil levels synthesize their planes from iota masks and ride
+# XLA rolls (zero data traffic) — until the level is large enough that XLA's
+# roll materialization costs more than streaming the planes through the
+# Pallas kernel (measured crossover between 128^3 and 256^3 fine levels)
+PALLAS_CONST_MIN_N: int = 4 * 1024 * 1024
+
+
+def _pallas_route() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
@@ -210,16 +227,16 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     compute instead of HBM traffic.
     """
     lins = A.linear_offsets()
-    if (USE_PALLAS and A.n_off >= PALLAS_MIN_OFFSETS and A.n % 128 == 0
-            and A.data.dtype == jnp.float32):
-        # fp32 only: the windowed-DMA kernel is validated for f32 tiles
-        # (a bf16-data variant needs its own tiling treatment)
+    if (_pallas_route() and A.n >= PALLAS_MIN_N and A.n % 128 == 0
+            and (A.const_planes is None or A.n >= PALLAS_CONST_MIN_N)
+            and A.data.dtype in (jnp.float32, jnp.bfloat16)
+            and x.dtype == jnp.float32):
         try:
-            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas
+            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
 
-            return dia_spmv_pallas(A.data, lins, x)
-        except Exception:
-            pass  # fall through to the XLA roll path
+            return dia_spmv_pallas_v2(A.data, lins, x)
+        except ValueError:
+            pass  # no viable tile for this shape: XLA roll path below
     y = None
     cp = A.const_planes
     for k, o in enumerate(lins):
