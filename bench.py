@@ -65,6 +65,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="grid points per dim")
     ap.add_argument("--cycles", type=int, default=20)
+    ap.add_argument("--coarse-size", type=int, default=512)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--profile", metavar="LOGDIR", default=None,
                     help="capture a jax.profiler trace of the timed V-cycles "
@@ -72,6 +73,8 @@ def main():
                          "named_scope-annotated per level)")
     ap.add_argument("--no-extra-sizes", action="store_true",
                     help="skip the secondary-size measurement")
+    ap.add_argument("--no-solve", action="store_true",
+                    help="skip the refined-solve measurement (compile-heavy)")
     ap.add_argument("--measure-only", action="store_true",
                     help="internal: measure --size and print the raw dict as "
                          "JSON (used to run the secondary size in a fresh "
@@ -110,7 +113,7 @@ def main():
 
     # best measured configuration (docs/DESIGN.md): fourth-kind Chebyshev
     # degree-2 smoothing, bf16-stored preconditioner hierarchy
-    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=512,
+    cfg = AmgConfig(smoother="cheb4", cheb_degree=2, coarse_size=args.coarse_size,
                     max_levels=40)
 
     from raptor_tpu.gallery import stencil_grid
@@ -164,6 +167,12 @@ def main():
         rate = n_ / vc
         log(f"[{sz}^3] V-cycle: {vc*1e3:.2f} ms -> {rate/1e9:.3f} GDOF/s")
 
+        if args.no_solve:
+            return {
+                "hier": h_, "vcycle_s": vc, "dof_per_s": rate,
+                "setup_s": warm, "setup_cold_s": cold, "solve_s": -1.0,
+                "iters": -1, "relres": -1.0,
+            }
         # solve to true 1e-8: fully on device (fp32 inner AMG-PCG inside
         # compensated double-float32 refinement — one jit, docs/DESIGN.md §5b)
         (xh, xl), rel, iters = structured_solve_refined(
@@ -236,8 +245,8 @@ def main():
 
             p = subprocess.run(
                 [_sys.executable, __file__, "--size", "256",
-                 "--measure-only", "--tol", str(args.tol)],
-                capture_output=True, text=True, timeout=780,
+                 "--measure-only", "--no-solve", "--tol", str(args.tol)],
+                capture_output=True, text=True, timeout=1100,
             )
             if p.returncode != 0:
                 raise RuntimeError(
