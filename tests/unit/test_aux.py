@@ -155,3 +155,30 @@ def test_hierarchy_determinism_same_seed_bitwise():
     s2 = build_structured_hierarchy(D, AmgConfig(smoother="mcgs"))
     for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_setup_and_cycle_clean_under_debug_nans():
+    """SURVEY §5.2(a): setup + V-cycle application raise no NaNs under
+    JAX's nan-checking mode (the sanitizer analogue for numerical races).
+    The Krylov driver is excluded: its residual-history buffer is
+    deliberately NaN-padded (see test_residual_history_observability)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raptor_tpu import AmgConfig, setup
+    from raptor_tpu.core import pad_vector
+    from raptor_tpu.gallery import default_rhs, poisson_3d
+    from raptor_tpu.solve.cycle import cycle
+
+    A = poisson_3d(8)
+    b = default_rhs(A.shape[0])
+    jax.config.update("jax_debug_nans", True)
+    try:
+        hier = setup(A, AmgConfig(splitting="pmis", smoother="cheb4"),
+                     dtype=jnp.float64)
+        bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+        x = cycle(hier, jnp.asarray(bd))
+        x = x + cycle(hier, jnp.asarray(bd) - jnp.asarray(x))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert np.isfinite(np.asarray(x)).all()
