@@ -12,6 +12,15 @@ sharded over a TPU mesh with ppermute halo exchange.
 __version__ = "0.1.0"
 
 from raptor_tpu.core import EllMatrix, ell_from_csr, ell_to_csr
+from raptor_tpu.core.bell import BlockEllMatrix, bell_spmv
+from raptor_tpu.core.hybrid import (
+    BandedMatrix,
+    HybridMatrix,
+    banded_from_csr,
+    banded_spmv,
+    hybrid_from_ell,
+    hybrid_spmv,
+)
 from raptor_tpu.ops import spmv, spgemm, rap, ell_transpose
 from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
 from raptor_tpu.api import setup, solve, solve_hier

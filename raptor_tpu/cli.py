@@ -96,7 +96,8 @@ def cmd_solve(args):
         }
     else:
         cfg = AmgConfig(splitting=args.splitting,
-                        smoother=args.smoother or "jacobi")
+                        smoother=args.smoother or "jacobi",
+                        fine_layout=args.layout)
         sc = SolveConfig(dtype="float64" if args.fp64 else "float32",
                          tol=args.tol, maxiter=args.maxiter,
                          refine=not args.fp64)
@@ -252,6 +253,10 @@ def main(argv=None):
     s.add_argument("--tol", type=float, default=1e-8)
     s.add_argument("--maxiter", type=int, default=200)
     s.add_argument("--fp64", action="store_true")
+    s.add_argument("--layout", default="ell", choices=["ell", "banded"],
+                   help="operator layout for the algebraic solve path; "
+                        "'banded' = RCM + paged dynamic-gather Pallas "
+                        "kernel (the general-CSR fast path)")
     s.set_defaults(fn=cmd_solve)
 
     bench = sub.add_parser("bench", help="run an acceptance-config preset")

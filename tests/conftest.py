@@ -6,6 +6,22 @@ trick lets every shard_map/ppermute/mesh code path run in CI with no TPU.
 
 import os
 
+# XLA:CPU compiles the big one-jit setup programs on the MAIN thread with
+# deeply recursive passes; under the default 8 MiB stack rlimit this can
+# overflow and segfault mid-suite (observed deterministically ~60 tests in).
+# Linux checks the rlimit at fault time, so raising the soft limit here
+# protects every subsequent compile.
+import resource
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 << 20
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ValueError, OSError):
+    pass
+
 # force CPU even when the ambient environment preselects a TPU platform.
 # Set RAPTOR_TEST_PLATFORM=tpu to run the hardware-gated tests (e.g. the
 # compiled-mode Pallas checks) on a real chip instead.
