@@ -42,28 +42,11 @@ if _PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite compiles many static-shape setup
-# kernels; cache them across runs (directory is gitignored).  The dir is
-# keyed by a CPU-feature fingerprint: XLA:CPU AOT results compiled on a
-# different machine load with feature mismatches and can SIGILL/SIGSEGV
-# mid-suite (observed: deterministic segfault loading stale entries).
-import hashlib
-
-
-def _machine_key() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return platform.machine()
-
-
-_cache = os.path.join(os.path.dirname(__file__), "..",
-                      f".jax_cache-{_machine_key()}")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the CPU suite.  Round-trip
+# serialization of large XLA:CPU executables is broken in this image:
+# deserialization (compilation_cache.get_executable_and_time) SIGSEGVs on
+# the AOT load path (cpu_aot_loader logs a compile/host machine-feature
+# mismatch — the compile side records pseudo-features like
+# +prefer-no-scatter that the host check rejects).  Every mid-suite
+# segfault traced to exactly this frame; with the cache off the suite is
+# stable.  (The TPU path is unaffected — only tests force CPU.)
