@@ -50,3 +50,29 @@ if _PLATFORM == "cpu":
 # +prefer-no-scatter that the host check rejects).  Every mid-suite
 # segfault traced to exactly this frame; with the cache off the suite is
 # stable.  (The TPU path is unaffected — only tests force CPU.)
+
+
+# The kernel's vm.max_map_count (65530 default) is the suite's hard wall:
+# every compiled executable + device buffer adds mappings, XLA:CPU never
+# coalesces them, and when mmap starts failing the compiler SIGSEGVs
+# (observed: the process dies at exactly 65530 maps, deterministically
+# ~60 tests in).  Two defenses:
+#   1. best-effort raise of the sysctl (root images),
+#   2. drop compiled executables between test modules — per-module
+#      clear_caches bounds accumulation with negligible recompile cost
+#      (cross-module program sharing is small).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1 << 20:
+            _f.seek(0)
+            _f.write(str(1 << 20))
+except OSError:
+    pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_map_count():
+    yield
+    jax.clear_caches()
