@@ -37,3 +37,11 @@ def test_cli_bench_preset(capsys):
     out = run_cli(["bench", "--preset", "config1", "--n", "16"], capsys)
     assert out["relres"] <= 1e-6
     assert out["stats"]["operator_complexity"] > 1.0
+
+
+def test_cli_solve_banded_layout(capsys):
+    """--layout banded routes the algebraic solve through the banded
+    (RCM + dynamic-gather) operator layout."""
+    out = run_cli(["solve", "--problem", "poisson3d", "--n", "12",
+                   "--layout", "banded", "--fp64"], capsys)
+    assert out["relres"] <= 1e-8
