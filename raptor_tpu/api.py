@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
-from raptor_tpu.core.ell import EllMatrix, pad_vector
+from raptor_tpu.core.ell import EllMatrix, pad_rows, pad_vector
 from raptor_tpu.ops.sparse_ops import spmv
 from raptor_tpu.setup.hierarchy import Hierarchy, build_hierarchy, hierarchy_stats
 from raptor_tpu.solve.cycle import cycle
@@ -69,6 +69,8 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     cfg = dataclasses.replace(config, pad_multiple=pm_mult)
     hier = build_hierarchy(E, cfg, dtype=dtype)
 
+    from raptor_tpu.core.hybrid import rect_banded_from_ell
+
     levels = []
     for lev in hier.levels:
         if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
@@ -76,6 +78,14 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
                                 reorder=False)
             if B.n_pad == lev.A.n_rows_pad:
                 lev = dataclasses.replace(lev, Aband=B)
+                # transfer operators follow the same grid-proportional band
+                # (coarse ranks are monotone in the RCM fine order)
+                if lev.P is not None:
+                    Pb = rect_banded_from_ell(
+                        lev.P, pad_rows(lev.P.n_cols_pad, 1024))
+                    Rb = rect_banded_from_ell(
+                        lev.R, pad_rows(lev.R.n_cols_pad, 1024))
+                    lev = dataclasses.replace(lev, Pband=Pb, Rband=Rb)
         levels.append(lev)
 
     n_pad = hier.levels[0].A.n_rows_pad

@@ -303,3 +303,63 @@ def banded_spmv(B: BandedMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x in the ORIGINAL ordering (permutation applied inside)."""
     return jnp.take(banded_spmv_ro(B, jnp.take(x, B.perm, axis=0)),
                     B.iperm, axis=0)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "page", "idx"],
+    meta_fields=["meta", "shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class RectBanded:
+    """Rectangular banded operator (transfer P/R in an RCM hierarchy)."""
+
+    vals: jax.Array
+    page: jax.Array
+    idx: jax.Array
+    meta: Tuple[int, ...]  # (K, n, n_cols, tile, WpP, npage)
+    shape: Tuple[int, int]
+
+    def plan(self) -> dict:
+        K, n, n_cols, tile, WpP, npage = self.meta
+        return dict(vals=self.vals, page=self.page, idx=self.idx, K=K, n=n,
+                    n_cols=n_cols, tile=tile, WpP=WpP, npage=npage)
+
+
+def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
+                         tile: int = 1024) -> Optional[RectBanded]:
+    """Build the rectangular banded layout for a transfer operator whose
+    column indices follow the grid-proportional band (RCM hierarchy).
+    Returns None when shapes don't tile."""
+    from raptor_tpu.ops.pallas.banded_kernel import banded_plan_rect
+
+    if E.n_rows_pad % tile or n_cols_pad % 1024:
+        return None
+    plan = banded_plan_rect(
+        np.asarray(E.cols), np.asarray(E.row_nnz), np.asarray(E.data),
+        n_cols_pad=n_cols_pad, tile=tile,
+    )
+    return RectBanded(
+        vals=plan["vals"], page=plan["page"], idx=plan["idx"],
+        meta=(plan["K"], plan["n"], plan["n_cols"], plan["tile"],
+              plan["WpP"], plan["npage"]),
+        shape=E.shape,
+    )
+
+
+def rect_banded_spmv(B: RectBanded, x: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """y = B @ x; x padded to meta n_cols.  Kernel on TPU, ref elsewhere."""
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        banded_spmv_rect_pallas,
+        banded_spmv_rect_ref,
+    )
+
+    if interpret is None:
+        use_kernel = jax.default_backend() == "tpu"
+    else:
+        use_kernel = True
+    if use_kernel:
+        return banded_spmv_rect_pallas(B.plan(), x,
+                                       interpret=bool(interpret))
+    return banded_spmv_rect_ref(B.plan(), x)

@@ -181,3 +181,145 @@ def banded_spmv_ref(plan: dict, x):
             f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
             y = y.at[t].add(plan["vals"][t, k] * win[f])
     return y.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular variant: transfer operators P (fine x coarse) and R
+# (coarse x fine) in an RCM-ordered hierarchy are banded under the
+# grid-proportional map col ~ row * (n_cols/n_rows) — coarse ranks are
+# cumsum-compacted C-point positions, monotone in the fine ordering.  The
+# window base for output tile t is page-aligned floor(t * tile_c / PAGE),
+# and the window is delivered as npage single-page neighbor refs.
+# ---------------------------------------------------------------------------
+
+
+def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
+                     n_cols_pad: int, tile: int = 1024):
+    """Host structure pass for a rectangular banded operator.
+
+    ``cols`` (K, n_rows_pad) index the x-space [0, n_cols_pad);
+    entries must satisfy |col - row * n_cols_pad/n_rows_pad| <= W for a
+    moderate W (checked by construction below).  Returns the plan dict for
+    ``banded_spmv_rect_pallas``.
+    """
+    K, n = cols.shape
+    assert tile % PAGE == 0 and n % tile == 0, (n, tile)
+    assert n_cols_pad % PAGE == 0, n_cols_pad
+    T = n // tile
+    rows = np.arange(n)
+    t = rows // tile
+    mask = np.arange(K)[:, None] < nnz[None, :]
+    # per-tile window center: whole pages, monotone in t; integer floor
+    # arithmetic IDENTICAL to the kernel's index map
+    # ((t*nc)//T)//PAGE == (t*nc)//(T*PAGE) for non-negative ints
+    center = ((t.astype(np.int64) * n_cols_pad) // (T * PAGE)) * PAGE
+    delta = np.where(mask, cols - center[None, :], 0)
+    lo_d = int(delta.min()) if mask.any() else 0
+    hi_d = int(delta.max()) if mask.any() else 1
+    # window [center - WpP*PAGE, ...) covering [lo_d, hi_d]
+    WpP = max(-(-(-lo_d) // PAGE), 0) if lo_d < 0 else 0
+    npage = WpP + -(-(hi_d + 1) // PAGE)
+    npage = max(npage, 1)
+
+    win_start = center - WpP * PAGE
+    f = np.where(mask, cols - win_start[None, :], 0)
+    assert (f[mask] >= 0).all() and (f[mask] < npage * PAGE).all()
+    page = f // PAGE
+    idx = f % PAGE
+    v = np.where(mask, vals, 0)
+
+    R_rows = tile // LANE
+
+    def blk(a, dtype):
+        return np.ascontiguousarray(
+            a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3)
+        ).astype(dtype)
+
+    return dict(
+        page=jnp.asarray(blk(page, np.int32)),
+        idx=jnp.asarray(blk(idx, np.int32)),
+        vals=jnp.asarray(blk(v, vals.dtype)),
+        K=K, n=n, n_cols=n_cols_pad, tile=tile, WpP=WpP, npage=npage,
+    )
+
+
+@partial(jax.jit, static_argnames=("K", "n", "n_cols", "tile", "WpP",
+                                   "npage", "interpret"))
+def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
+                      tile: int, WpP: int, npage: int,
+                      interpret: bool = False):
+    R_rows = tile // LANE
+    T = n // tile
+    total_pages = n_cols // PAGE
+    x2 = x.reshape(total_pages * SUB, LANE)
+
+    def kernel(*refs):
+        x_refs = refs[:npage]  # one page (SUB, LANE) each
+        d_ref, p_ref, i_ref, o_ref = refs[npage:]
+        for r in range(R_rows):
+            acc = None
+            for k in range(K):
+                pg = p_ref[0, k, r:r + 1, :]
+                ix = i_ref[0, k, r:r + 1, :]
+                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
+                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                val = jnp.zeros((1, LANE), x.dtype)
+                for p in range(npage):
+                    wp = x_refs[p][:]
+                    g1 = jnp.take_along_axis(wp, ln, axis=1)
+                    g2 = jnp.take_along_axis(g1, sub, axis=0)
+                    val = jnp.where(pg == p, g2[0:1, :], val)
+                term = d_ref[0, k, r:r + 1, :] * val
+                acc = term if acc is None else acc + term
+            o_ref[r:r + 1, :] = acc
+
+    # window page p of tile t = clamp((t*tile_c)//PAGE - WpP + p); the
+    # division is done in the index map (traced integer arithmetic)
+    tc_num, tc_den = n_cols, T  # tile_c = tc_num / tc_den
+
+    def page_index(t, p):
+        base = (t * tc_num) // (tc_den * PAGE) - WpP
+        return jnp.clip(base + p, 0, total_pages - 1)
+
+    x_specs = [
+        pl.BlockSpec((SUB, LANE), (lambda t, p=p: (page_index(t, p), 0)),
+                     memory_space=pltpu.VMEM)
+        for p in range(npage)
+    ]
+    meta = pl.BlockSpec((1, K, R_rows, LANE), lambda t: (t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=x_specs + [meta, meta, meta],
+        out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x.dtype),
+        interpret=interpret,
+    )(*([x2] * npage), vals, page, idx)
+    return out.reshape(-1)
+
+
+def banded_spmv_rect_pallas(plan: dict, x, interpret: bool = False):
+    """y = A @ x for a rectangular banded plan; x has length plan['n_cols']."""
+    return _banded_call_rect(plan["vals"], plan["page"], plan["idx"], x,
+                             K=plan["K"], n=plan["n"],
+                             n_cols=plan["n_cols"], tile=plan["tile"],
+                             WpP=plan["WpP"], npage=plan["npage"],
+                             interpret=interpret)
+
+
+def banded_spmv_rect_ref(plan: dict, x):
+    """Plain-jnp reference of the rectangular plan (any backend)."""
+    n, tile = plan["n"], plan["tile"]
+    T = n // tile
+    R_rows = tile // LANE
+    total_pages = plan["n_cols"] // PAGE
+    y = jnp.zeros((T, R_rows, LANE), x.dtype)
+    for t in range(T):
+        base = (t * plan["n_cols"]) // (T * PAGE) - plan["WpP"]
+        pages = np.clip(np.arange(plan["npage"]) + base, 0, total_pages - 1)
+        win = x.reshape(total_pages, PAGE)[pages].reshape(-1)
+        f = plan["page"][t] * PAGE + plan["idx"][t]
+        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[f], axis=0))
+    return y.reshape(-1)

@@ -43,7 +43,7 @@ __all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax", "Abell",
-                 "binv", "Aband"],
+                 "binv", "Aband", "Pband", "Rband"],
     meta_fields=["n", "ncolors"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +68,8 @@ class Level:
     # whole hierarchy lives in the fine level's RCM ordering, so the
     # per-level layouts use identity perms and P/R are untouched)
     Aband: Optional["object"] = None  # core.hybrid.BandedMatrix
+    Pband: Optional["object"] = None  # core.hybrid.RectBanded (transfer)
+    Rband: Optional["object"] = None
 
 
 @partial(

@@ -94,6 +94,20 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
     raise ValueError(f"unknown smoother for banded layout: {cfg.smoother}")
 
 
+def apply_transfer(band, E, v):
+    """Transfer (P or R) application through the rectangular banded layout
+    when the level carries one, else the gather ELL path.  The banded plan's
+    padded column space can exceed E.n_cols_pad by one page tail."""
+    if band is None:
+        return spmv(E, v)
+    from raptor_tpu.core.hybrid import rect_banded_spmv
+
+    n_cols = band.meta[2]
+    if v.shape[0] < n_cols:
+        v = jnp.concatenate([v, jnp.zeros(n_cols - v.shape[0], v.dtype)])
+    return rect_banded_spmv(band, v)
+
+
 def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
@@ -151,14 +165,14 @@ def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
         x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
     with jax.named_scope(f"L{k}.restrict"):
         r = b - apply_op(lev, x)
-        rc = spmv(lev.R, r)
+        rc = apply_transfer(lev.Rband, lev.R, r)
     ec = _level(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         # second coarse visit on the updated coarse residual (gamma = 2)
         rc2 = rc - apply_op(hier.levels[k + 1], ec)
         ec = ec + _level(hier, cfg, k + 1, rc2)
     with jax.named_scope(f"L{k}.prolong"):
-        x = x + spmv(lev.P, ec)
+        x = x + apply_transfer(lev.Pband, lev.P, ec)
     with jax.named_scope(f"L{k}.postsmooth"):
         x = _smooth(lev, cfg, b, x, backward=True)
     return x
