@@ -56,6 +56,12 @@ class AmgConfig:
     # row padding multiple; the distributed path builds with 8*ndev so every
     # level's padded size divides the device count (SURVEY.md §2b C19)
     pad_multiple: int = 8
+    # algebraic-setup latency policy: levels with n <= this threshold build
+    # in vectorized host NumPy (setup/host_setup.py — same algorithms, same
+    # integer PMIS weights, bit-identical splittings) instead of paying
+    # device compile + sync latency per shrinking level; 0 forces every
+    # level onto the device (full end-to-end-under-jit setup)
+    host_setup_threshold: int = 65536
     # operator layout for the solve path ('ell' | 'banded'):
     # 'banded' RCM-reorders the input and re-lays each large level as a
     # BandedMatrix (core/hybrid.py) — the paged dynamic-gather Pallas

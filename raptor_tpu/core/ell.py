@@ -128,6 +128,7 @@ def ell_from_csr(
     row_pad_multiple: int = 8,
     n_cols_pad: int | None = None,
     identity_pad_rows: bool = True,
+    device: bool = True,
 ) -> EllMatrix:
     """Host-side conversion scipy.sparse -> EllMatrix.
 
@@ -169,10 +170,11 @@ def ell_from_csr(
         cols[0, n:] = np.arange(n, n_pad)
         nnz_pad[n:] = 1
 
+    conv = jnp.asarray if device else (lambda x: x)
     return EllMatrix(
-        data=jnp.asarray(data),
-        cols=jnp.asarray(cols),
-        row_nnz=jnp.asarray(nnz_pad),
+        data=conv(data),
+        cols=conv(cols),
+        row_nnz=conv(nnz_pad),
         shape=(n, m),
         n_rows_pad=n_pad,
         n_cols_pad=int(n_cols_pad),

@@ -226,12 +226,14 @@ class BandedMatrix:
 
 
 def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
-                    reorder: bool = True) -> BandedMatrix:
+                    reorder: bool = True) -> Optional[BandedMatrix]:
     """scipy.sparse -> BandedMatrix (host structure pass: RCM + plan).
 
     The whole pass stays on host numpy — no device round-trips (downloading
     structure through the device tunnel is orders of magnitude slower than
-    building it host-side).
+    building it host-side).  Returns None when the RCM bandwidth exceeds the
+    kernel's plan bounds (ADVICE r2: non-banded sparsity must stay on the
+    gather-ELL path instead of producing a pathological Pallas program).
     """
     import scipy.sparse as sp
 
@@ -267,7 +269,12 @@ def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
     cols[0, n:] = np.arange(n, n_pad)  # identity pad rows
     vals[0, n:] = 1
 
-    plan = banded_plan(cols, nnz, vals, tile=tile)
+    from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError
+
+    try:
+        plan = banded_plan(cols, nnz, vals, tile=tile)
+    except BandedPlanError:
+        return None
     perm_pad = np.arange(n_pad, dtype=np.int32)
     perm_pad[:n] = p
     iperm_pad = np.arange(n_pad, dtype=np.int32)
@@ -289,13 +296,13 @@ def banded_spmv_ro(B: BandedMatrix, xr: jax.Array,
         banded_spmv_ref,
     )
 
-    if interpret is None:
-        use_kernel = jax.default_backend() == "tpu"
-    else:
-        use_kernel = True
+    # interpret=True forces the (interpreted) kernel on any backend;
+    # otherwise the compiled kernel runs only where it can (TPU) and other
+    # backends take the reference path (ADVICE r2: interpret=False must not
+    # force a compiled pallas_call on CPU)
+    use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
-        return banded_spmv_pallas(B.plan(), xr,
-                                  interpret=bool(interpret))
+        return banded_spmv_pallas(B.plan(), xr, interpret=bool(interpret))
     return banded_spmv_ref(B.plan(), xr)
 
 
@@ -333,12 +340,17 @@ def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
     Returns None when shapes don't tile."""
     from raptor_tpu.ops.pallas.banded_kernel import banded_plan_rect
 
+    from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError
+
     if E.n_rows_pad % tile or n_cols_pad % 1024:
         return None
-    plan = banded_plan_rect(
-        np.asarray(E.cols), np.asarray(E.row_nnz), np.asarray(E.data),
-        n_cols_pad=n_cols_pad, tile=tile,
-    )
+    try:
+        plan = banded_plan_rect(
+            np.asarray(E.cols), np.asarray(E.row_nnz), np.asarray(E.data),
+            n_cols_pad=n_cols_pad, tile=tile,
+        )
+    except BandedPlanError:
+        return None
     return RectBanded(
         vals=plan["vals"], page=plan["page"], idx=plan["idx"],
         meta=(plan["K"], plan["n"], plan["n_cols"], plan["tile"],
@@ -355,10 +367,7 @@ def rect_banded_spmv(B: RectBanded, x: jax.Array,
         banded_spmv_rect_ref,
     )
 
-    if interpret is None:
-        use_kernel = jax.default_backend() == "tpu"
-    else:
-        use_kernel = True
+    use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
         return banded_spmv_rect_pallas(B.plan(), x,
                                        interpret=bool(interpret))

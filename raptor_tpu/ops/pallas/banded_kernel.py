@@ -42,15 +42,41 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["banded_plan", "banded_spmv_pallas", "banded_spmv_ref"]
+__all__ = ["banded_plan", "banded_spmv_pallas", "banded_spmv_ref",
+           "BandedPlanError"]
 
 LANE = 128
 SUB = 8
 PAGE = SUB * LANE  # 1024 elements = one (8, 128) f32 vreg
 
+# Plan-time bounds (ADVICE r2): a matrix whose RCM bandwidth stays large is
+# not banded — an unbounded plan would emit 2*kh+1 neighbor BlockSpecs and a
+# K*npage-unrolled page-select chain (compile-time scoped-VMEM OOM /
+# pathological compiles).  Production plans sit far below these caps
+# (shuffled 48^3 Poisson: kh=3, npage=7); callers catch BandedPlanError and
+# stay on the gather-ELL path.
+MAX_NPAGE = 48
+MAX_KH = 24
+VMEM_BUDGET = 13 * 2**20  # same budget as ops/pallas/dia_kernel
+
+
+class BandedPlanError(ValueError):
+    """Matrix bandwidth too large for the paged-gather kernel."""
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _check_plan_bounds(kh: int, npage: int, K: int, tile: int,
+                       itemsize: int, what: str):
+    # double-buffered window + 3 meta blocks + output, per grid step
+    vmem = 2 * ((2 * kh + 1 + 1) * tile * itemsize
+                + 3 * K * tile * max(itemsize, 4))
+    if npage > MAX_NPAGE or kh > MAX_KH or vmem > VMEM_BUDGET:
+        raise BandedPlanError(
+            f"{what}: bandwidth too large for the paged-gather kernel "
+            f"(kh={kh}, npage={npage}, est VMEM={vmem >> 20}MiB)")
 
 
 def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
@@ -71,6 +97,8 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     Wp = _round_up(max(W, 1), PAGE)  # page-aligned halo
     kh = Wp // tile + (1 if Wp % tile else 0)
     npage = (tile + 2 * Wp) // PAGE
+    _check_plan_bounds(kh, npage, K, tile, np.dtype(vals.dtype).itemsize,
+                       "banded_plan")
 
     t = rows // tile
     f = np.where(mask, cols + Wp - (t * tile)[None, :], 0)  # window offset
@@ -220,6 +248,8 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     WpP = max(-(-(-lo_d) // PAGE), 0) if lo_d < 0 else 0
     npage = WpP + -(-(hi_d + 1) // PAGE)
     npage = max(npage, 1)
+    _check_plan_bounds(0, npage, K, tile, np.dtype(vals.dtype).itemsize,
+                       "banded_plan_rect")
 
     win_start = center - WpP * PAGE
     f = np.where(mask, cols - win_start[None, :], 0)

@@ -1,0 +1,348 @@
+"""Vectorized host-NumPy tail of the algebraic setup (VERDICT r2 missing #1).
+
+Coarse levels are compile-latency-bound on device: each shrinking level is a
+fresh static-shape XLA program (seconds of remote-TPU compile) applied to
+microseconds of work.  Below ``AmgConfig.host_setup_threshold`` the level
+loop therefore switches to this module: the SAME algorithms as the device
+path (setup/strength.py, setup/splitting.py, setup/interp.py), transliterated
+to vectorized NumPy over the identical entry-major ELL layout, with the SAME
+integer PMIS weights — so C/F splittings are bit-identical to the device
+path and interpolation/RAP values agree to fp32 rounding (summation order in
+the SciPy Galerkin product differs; patterns are exact).
+
+Capability target (SURVEY.md §0): the reference AMG stack's setup loop
+(RAPtor ``multilevel`` setup `[public-raptor, from knowledge]`), whose
+coarse-level economics on TPU (SURVEY.md §7 hard part 5) motivate the
+host/device split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_rows
+from raptor_tpu.setup.splitting import C_PT, F_PT, UNDECIDED, rs_splitting_host
+
+__all__ = ["host_build_tail", "np_strength_mask", "np_pmis_splitting",
+           "np_direct_interpolation"]
+
+
+# ---------------------------------------------------------------------------
+# ELL (numpy) <-> scipy
+# ---------------------------------------------------------------------------
+
+def _ell_np(A: EllMatrix):
+    """Pull an EllMatrix's arrays to host numpy (one D2H per level)."""
+    return np.asarray(A.data), np.asarray(A.cols), np.asarray(A.row_nnz)
+
+
+def _pad_K(E: EllMatrix, k: int) -> EllMatrix:
+    """Append zero slots so E's width matches the device path's bucketed
+    width (hierarchy._bucket8) — keeps host- and device-built levels
+    shape-compatible so solve programs are shared."""
+    if E.K >= k:
+        return E
+    zd = np.zeros((k - E.K, E.n_rows_pad), np.asarray(E.data).dtype)
+    zc = np.zeros((k - E.K, E.n_rows_pad), np.int32)
+    return dataclasses.replace(
+        E,
+        data=np.concatenate([np.asarray(E.data), zd], axis=0),
+        cols=np.concatenate([np.asarray(E.cols), zc], axis=0),
+    )
+
+
+def _ell_np_to_coo(data, cols, nnz, n_logical, m_logical):
+    """Vectorized (no per-K python loop) ELL-arrays -> scipy coo, logical
+    shape (drops padding rows/slots and identity-padding columns)."""
+    import scipy.sparse as sp
+
+    K, n_pad = data.shape
+    k = np.arange(K)[:, None]
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    mask = (k < nnz[None, :]) & (rows < n_logical) & (cols < m_logical)
+    return sp.coo_matrix(
+        (data[mask], (rows[mask], cols[mask])),
+        shape=(n_logical, m_logical),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strength + PMIS (transliterations of the jitted device code)
+# ---------------------------------------------------------------------------
+
+def np_strength_mask(data, cols, nnz, theta: float, kind: str = "classical"):
+    """NumPy mirror of setup.strength.strength_mask on (K, n_pad) arrays."""
+    K, n_pad = data.shape
+    k = np.arange(K)[:, None]
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    slot = k < nnz[None, :]
+    off = (cols != rows) & slot
+    with np.errstate(invalid="ignore"):
+        if kind == "classical":
+            v = np.where(off, -data, -np.inf)
+            row_max = v.max(axis=0)
+            return off & (v >= theta * row_max) & (row_max > 0) & (v > 0)
+        if kind == "abs":
+            v = np.where(off, np.abs(data), 0)
+            row_max = v.max(axis=0)
+            return off & (v >= theta * row_max) & (v > 0)
+    raise ValueError(f"unknown strength kind: {kind}")
+
+
+def np_pmis_splitting(cols, smask, perm, n_pad: int):
+    """NumPy mirror of setup.splitting.pmis_splitting: same synchronous
+    rounds, same exact integer weights => bit-identical C/F splitting."""
+    rows = np.broadcast_to(
+        np.arange(n_pad, dtype=np.int64)[None, :], cols.shape)
+    lam = np.zeros(n_pad, np.int64)
+    np.add.at(lam, cols[smask], 1)
+    w = np.minimum(lam, 63) * n_pad + np.asarray(perm, np.int64)
+
+    has_out = smask.any(axis=0)
+    iso = ~has_out & (lam == 0)
+    cf = np.where(iso, F_PT, UNDECIDED).astype(np.int32)
+
+    scols = cols[smask]
+    srows = rows[smask]
+    while (cf == UNDECIDED).any():
+        und = cf == UNDECIDED
+        w_und = np.where(und, w, -1)
+        row_part = np.full(n_pad, -1, np.int64)
+        np.maximum.at(row_part, srows, w_und[scols])
+        col_part = np.full(n_pad, -1, np.int64)
+        np.maximum.at(col_part, scols, w_und[srows])
+        nmax = np.maximum(row_part, col_part)
+        cf = np.where(und & (w > nmax), C_PT, cf).astype(np.int32)
+        c = cf == C_PT
+        c_row = np.zeros(n_pad, bool)
+        np.logical_or.at(c_row, srows, c[scols])
+        c_col = np.zeros(n_pad, bool)
+        np.logical_or.at(c_col, scols, c[srows])
+        cf = np.where((cf == UNDECIDED) & (c_row | c_col), F_PT, cf).astype(
+            np.int32)
+    return cf
+
+
+def np_direct_interpolation(data, cols, nnz, smask, cf):
+    """NumPy mirror of setup.interp.direct_interpolation: returns
+    (P_data, P_cols, P_nnz, nc) in the same (K, n_pad) ELL layout."""
+    K, n_pad = data.shape
+    k = np.arange(K)[:, None]
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    slot = k < nnz[None, :]
+    off = (cols != rows) & slot
+    a = data
+    is_c = cf == C_PT
+    cmap = (np.cumsum(is_c) - 1).astype(np.int32)
+    diag = np.where((cols == rows) & slot, a, 0).sum(axis=0)
+
+    strong_c = smask & is_c[cols]
+    neg = off & (a < 0)
+    pos = off & (a > 0)
+    num_neg = np.where(neg, a, 0).sum(axis=0)
+    num_pos = np.where(pos, a, 0).sum(axis=0)
+    den_neg = np.where(strong_c & (a < 0), a, 0).sum(axis=0)
+    den_pos = np.where(strong_c & (a > 0), a, 0).sum(axis=0)
+    alpha = np.where(den_neg != 0, num_neg / np.where(den_neg != 0, den_neg, 1), 0)
+    beta = np.where(den_pos != 0, num_pos / np.where(den_pos != 0, den_pos, 1), 0)
+    dii = diag + np.where(den_pos == 0, num_pos, 0)
+
+    coef = np.where(a < 0, alpha[None, :], beta[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = -(coef * a) / dii[None, :]
+    pvals = np.where(strong_c, w, 0).astype(data.dtype)
+    pcols = cmap[cols]
+
+    # compact strong-C slots to the front of each row (unique targets)
+    slotpos = np.cumsum(strong_c, axis=0) - 1
+    lane = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    P_data = np.zeros((K, n_pad), data.dtype)
+    P_cols = np.zeros((K, n_pad), np.int32)
+    m = strong_c
+    P_data[slotpos[m], lane[m]] = pvals[m]
+    P_cols[slotpos[m], lane[m]] = pcols[m]
+    P_nnz = strong_c.sum(axis=0).astype(np.int32)
+
+    # C rows: identity
+    P_data[:, is_c] = 0.0
+    P_cols[:, is_c] = 0
+    P_data[0, is_c] = 1.0
+    P_cols[0, is_c] = cmap[is_c]
+    P_nnz[is_c] = 1
+    nc = int(is_c.sum())
+    return P_data, P_cols, P_nnz, nc
+
+
+def _np_filter_csr(Ac, tol: float):
+    """SciPy mirror of ops.sparse_ops.ell_filter: drop off-diagonal entries
+    with |a_ij| < tol * max_offdiag|a_ik| and lump them into the diagonal."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(Ac)
+    A.sort_indices()
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    offd = A.indices != rows
+    mag = np.where(offd, np.abs(A.data), 0)
+    row_max = np.zeros(n, A.data.dtype)
+    np.maximum.at(row_max, rows, mag)
+    drop = offd & (mag < tol * row_max[rows])
+    lump = np.zeros(n, A.data.dtype)
+    np.add.at(lump, rows, np.where(drop, A.data, 0))
+    data = np.where(drop, 0, A.data)
+    data = np.where(~offd, data + lump[rows], data)
+    out = sp.csr_matrix((data, A.indices, A.indptr), shape=A.shape)
+    out.eliminate_zeros()
+    return out
+
+
+def _np_estimate_lmax(data, cols, dinv, iters: int = 40, safety: float = 1.1):
+    """NumPy mirror of solve.smoothers.estimate_lmax (power iteration)."""
+    n_pad = data.shape[1]
+    i = np.arange(n_pad, dtype=data.dtype)
+    v = np.sin(i * data.dtype.type(0.7511)) + data.dtype.type(0.01)
+    v = v / np.linalg.norm(v)
+    for _ in range(iters):
+        w = dinv * (data * v[cols]).sum(axis=0)
+        v = w / np.linalg.norm(w)
+    w = dinv * (data * v[cols]).sum(axis=0)
+    return data.dtype.type(safety) * (v @ w) / (v @ v)
+
+
+# ---------------------------------------------------------------------------
+# The host level loop
+# ---------------------------------------------------------------------------
+
+def _host_level_aux(A: EllMatrix, data, cols, nnz, config: AmgConfig):
+    """dinv / coloring / Chebyshev lmax for one host level (numpy)."""
+    from raptor_tpu.solve.smoothers import greedy_coloring_host
+
+    K, n_pad = data.shape
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    k = np.arange(K)[:, None]
+    d = np.where((cols == rows) & (k < nnz[None, :]), data, 0).sum(axis=0)
+    dinv = (1.0 / np.where(d != 0, d, 1)).astype(data.dtype)
+    color, ncolors, lmax = None, 1, None
+    if config.smoother == "mcgs":
+        a = _ell_np_to_coo(data, cols, nnz, A.shape[0], A.shape[1]).tocsr()
+        g = ((a + a.T) != 0).tocsr()
+        col_np, ncolors = greedy_coloring_host(g.indptr, g.indices, a.shape[0])
+        color = np.zeros(n_pad, dtype=np.int32)
+        color[: a.shape[0]] = col_np
+    elif config.smoother in ("chebyshev", "cheb4", "block_cheb"):
+        lmax = _np_estimate_lmax(data, cols, dinv)
+    return dinv, color, ncolors, lmax
+
+
+def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
+                    row_ids=None):
+    """Finish a hierarchy on host: called by setup.hierarchy.build_hierarchy
+    once the level size drops to ``config.host_setup_threshold``.  ``levels``
+    holds the already-built (device) levels; returns the complete Hierarchy
+    with every leaf converted to a device array exactly once at the end.
+    ``row_ids``: see build_hierarchy (permutation-invariant PMIS weights)."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.setup.hierarchy import Hierarchy, Level
+    from raptor_tpu.setup.splitting import make_perm, make_perm_ids
+
+    ids = None if row_ids is None else np.asarray(row_ids)
+
+    out = []  # host-level tuples
+    n = A.shape[0]
+    while len(levels) + len(out) + 1 < config.max_levels and n > config.coarse_size:
+        if config.interp != "direct":
+            raise ValueError(
+                "host setup tail implements direct interpolation only; "
+                "set host_setup_threshold=0 for other interp kinds")
+        data, colsA, nnz = _ell_np(A)
+        n_pad = A.n_rows_pad
+        smask = np_strength_mask(data, colsA, nnz, config.theta, config.strength)
+        if config.splitting == "rs":
+            import scipy.sparse as sp
+
+            rows = np.broadcast_to(np.arange(n_pad)[None, :], smask.shape)
+            S = sp.coo_matrix(
+                (np.ones(int(smask.sum())), (rows[smask], colsA[smask])),
+                shape=(n_pad, n_pad)).tocsr()
+            cf = rs_splitting_host(S).astype(np.int32)
+        else:  # pmis (guarded by build_hierarchy)
+            seed = config.seed + len(levels) + len(out)
+            perm = np.asarray(
+                make_perm_ids(ids, n_pad, seed) if ids is not None
+                else make_perm(n, n_pad, seed))
+            cf = np_pmis_splitting(colsA, smask, perm, n_pad)
+        Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask, cf)
+        if nc == 0 or nc >= n:
+            break
+        if ids is not None:
+            ids = ids[cf[:n] == C_PT]
+        P_csr = _ell_np_to_coo(Pd, Pc, Pn, n, nc).tocsr()
+        A_csr = _ell_np_to_coo(data, colsA, nnz, n, n).tocsr()
+        R_csr = P_csr.T.tocsr()
+        Ac_csr = (R_csr @ (A_csr @ P_csr)).tocsr()
+        if config.filter_tol > 0:
+            Ac_csr = _np_filter_csr(Ac_csr, config.filter_tol)
+        # dead coarse rows (device add_identity_padding): identity them
+        dead = np.where(Ac_csr.diagonal() == 0)[0]
+        if dead.size:
+            import scipy.sparse as sp
+
+            keep = ~np.isin(
+                np.repeat(np.arange(nc), np.diff(Ac_csr.indptr)), dead)
+            coo = Ac_csr.tocoo()
+            Ac_csr = (sp.coo_matrix(
+                (np.concatenate([coo.data[keep.ravel()],
+                                 np.ones(dead.size, coo.data.dtype)]),
+                 (np.concatenate([coo.row[keep.ravel()], dead]),
+                  np.concatenate([coo.col[keep.ravel()], dead]))),
+                shape=Ac_csr.shape)).tocsr()
+
+        dinv, color, ncolors, lmax = _host_level_aux(A, data, colsA, nnz, config)
+        nc_pad = pad_rows(nc, config.pad_multiple)
+        P = EllMatrix(
+            data=Pd, cols=Pc, row_nnz=np.where(np.arange(n_pad) < n, Pn, 0),
+            shape=(n, nc), n_rows_pad=n_pad, n_cols_pad=nc_pad)
+        from raptor_tpu.setup.hierarchy import _bucket8
+
+        R = _pad_K(ell_from_csr(R_csr, dtype=dtype,
+                                row_pad_multiple=config.pad_multiple,
+                                n_cols_pad=n_pad, identity_pad_rows=False,
+                                device=False),
+                   _bucket8(int(np.diff(R_csr.indptr).max(initial=1))))
+        out.append((A, dinv, P, R, color, lmax, n, ncolors))
+        A = _pad_K(ell_from_csr(Ac_csr, dtype=dtype,
+                                row_pad_multiple=config.pad_multiple,
+                                device=False),
+                   _bucket8(int(np.diff(Ac_csr.indptr).max(initial=1))))
+        n = nc
+
+    # coarsest level: dense inverse + smoother aux, still on host
+    data, colsA, nnz = _ell_np(A)
+    dinv, color, ncolors, lmax = _host_level_aux(A, data, colsA, nnz, config)
+    dense = np.zeros((A.n_rows_pad, A.n_rows_pad), data.dtype)
+    k = np.arange(A.K)[:, None]
+    rows = np.broadcast_to(np.arange(A.n_rows_pad)[None, :], data.shape)
+    m = k < nnz[None, :]
+    np.add.at(dense, (rows[m], colsA[m]), data[m])
+    inv = np.linalg.inv(dense)
+    out.append((A, dinv, None, None, color, lmax, n, ncolors))
+
+    def dev(x):
+        return None if x is None else jnp.asarray(x)
+
+    def dev_ell(E):
+        if E is None:
+            return None
+        return dataclasses.replace(
+            E, data=dev(E.data), cols=dev(E.cols), row_nnz=dev(E.row_nnz))
+
+    for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h) in out:
+        levels.append(Level(
+            A=dev_ell(Ah), dinv=dev(dinv_h), P=dev_ell(Ph), R=dev_ell(Rh),
+            color=dev(color_h), cheb_lmax=dev(lmax_h), n=n_h, ncolors=ncol_h))
+    return Hierarchy(levels=tuple(levels), coarse_inv=jnp.asarray(inv),
+                     config=config)

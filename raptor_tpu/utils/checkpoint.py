@@ -18,36 +18,71 @@ import numpy as np
 __all__ = ["save_pytree", "load_pytree", "save_hierarchy", "load_hierarchy"]
 
 
+def _allowed_globals() -> set[tuple[str, str]]:
+    """Exact (module, name) pairs a raptor_tpu treedef pickle can reference
+    (ADVICE r2: prefix allowlists still admit exec gadgets — e.g.
+    numpy.testing's runstring — and attribute-chain escapes via getattr;
+    enumerate the legitimate closure instead).
+
+    The set is: primitive containers, numpy array/dtype reconstructors, the
+    PyTreeDef type itself (located dynamically so jaxlib renames don't break
+    us), and the framework's registered pytree node / config classes.
+    Checkpoints remain SEMI-trusted: the allowlist bounds code execution to
+    these constructors, but a crafted file can still build arbitrary
+    instances of them.
+    """
+    allowed = {
+        ("builtins", "tuple"), ("builtins", "list"), ("builtins", "dict"),
+        ("builtins", "set"), ("builtins", "frozenset"), ("builtins", "int"),
+        ("builtins", "float"), ("builtins", "str"), ("builtins", "bool"),
+        ("builtins", "bytes"), ("builtins", "complex"),
+        ("builtins", "NoneType"), ("builtins", "slice"),
+        ("collections", "OrderedDict"),
+        ("numpy", "dtype"), ("numpy", "ndarray"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy", "int32"), ("numpy", "int64"),
+        ("numpy", "float32"), ("numpy", "float64"), ("numpy", "bool_"),
+    }
+    import jax
+
+    td = type(jax.tree_util.tree_structure((0,)))
+    allowed.add((td.__module__, td.__qualname__))
+    # PyTreeDef.__reduce__ closes over the default registry object
+    allowed.add(("jax._src.tree_util", "default_registry"))
+
+    from raptor_tpu.config import AmgConfig, SolveConfig
+    from raptor_tpu.core.bell import BlockEllMatrix
+    from raptor_tpu.core.ell import EllMatrix
+    from raptor_tpu.core.hybrid import BandedMatrix, HybridMatrix, RectBanded
+    from raptor_tpu.parallel.partition import DistMatrix, HaloPlan
+    from raptor_tpu.setup.hierarchy import Hierarchy, Level
+    from raptor_tpu.solve.krylov import KrylovInfo
+
+    for cls in (AmgConfig, SolveConfig, BlockEllMatrix, EllMatrix,
+                BandedMatrix, HybridMatrix, RectBanded, DistMatrix,
+                HaloPlan, Hierarchy, Level, KrylovInfo):
+        allowed.add((cls.__module__, cls.__qualname__))
+    return allowed
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
-    """Treedef unpickler restricted to pytree/framework types.
+    """Treedef unpickler restricted to an exact allowlist of globals.
 
     Treedefs hold static aux data (configs, shapes) of custom pytree nodes,
     so they cannot be flat JSON; plain ``pickle.load`` would however execute
-    arbitrary callables from an untrusted file (ADVICE r1). Restrict the
-    loadable classes to the modules a raptor_tpu treedef can legitimately
-    reference.
+    arbitrary callables from an untrusted file.  ``find_class`` admits only
+    the exact (module, name) pairs from ``_allowed_globals`` — notably
+    excluding ``builtins.getattr``, ``functools.partial``, and everything
+    under numpy/jax beyond the array reconstructors.  See
+    ``_allowed_globals`` for the trust model (semi-trusted, not arbitrary
+    hostile input).
     """
 
-    _ALLOWED_PREFIXES = (
-        "raptor_tpu.",
-        "jax.",
-        "jaxlib.",
-        "numpy",
-        "builtins",
-        "collections",
-        "functools",
-    )
-    _DENIED = {
-        ("builtins", "eval"), ("builtins", "exec"), ("builtins", "compile"),
-        ("builtins", "open"), ("builtins", "__import__"),
-        ("functools", "partial"),  # can smuggle arbitrary callables
-    }
-
     def find_class(self, module, name):
-        if (module, name) in self._DENIED or not any(
-            module == p.rstrip(".") or module.startswith(p)
-            for p in self._ALLOWED_PREFIXES
-        ):
+        if (module, name) not in _allowed_globals():
             raise pickle.UnpicklingError(
                 f"checkpoint treedef references disallowed {module}.{name}"
             )

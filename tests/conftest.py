@@ -66,6 +66,16 @@ try:
         if int(_f.read()) < 1 << 20:
             _f.seek(0)
             _f.write(str(1 << 20))
+            # machine-global, persistent kernel setting (ADVICE r2): say so
+            # loudly so operators of shared machines know pytest did it
+            import sys as _sys
+
+            print(
+                "[raptor_tpu conftest] raised system-wide vm.max_map_count "
+                "to 1048576 (was below; XLA:CPU needs it — see comment "
+                "above). This persists until reboot.",
+                file=_sys.stderr,
+            )
 except OSError:
     pass
 

@@ -25,8 +25,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def _cfg(**kw):
+    # host_setup_threshold=0: these tests compare the DISTRIBUTED device
+    # setup against the single-device DEVICE setup to tight fingerprints;
+    # the host-NumPy tail (scipy RAP, different fp summation order) would
+    # add ~1e-8 relative noise at fp32 that has nothing to do with sharding
     base = dict(splitting="pmis", interp="direct", smoother="jacobi",
-                pad_multiple=8 * NDEV, coarse_size=64)
+                pad_multiple=8 * NDEV, coarse_size=64,
+                host_setup_threshold=0)
     base.update(kw)
     return AmgConfig(**base)
 

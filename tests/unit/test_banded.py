@@ -96,3 +96,30 @@ def test_banded_solve_path():
                     hier=hier)
     assert info["relres"] <= 1e-8
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_banded_layout_iteration_parity():
+    """fine_layout='banded' RCM-permutes the matrix, but id-keyed PMIS
+    weights (setup.splitting.make_perm_ids) must make the C/F sets — and
+    hence the Krylov iteration count — identical to the unpermuted build
+    (VERDICT r3 item 4)."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.api import solve
+    from raptor_tpu.config import AmgConfig, SolveConfig
+    from raptor_tpu.gallery.stencils import poisson_3d
+
+    A = poisson_3d(16)
+    rng = np.random.default_rng(0)
+    p = rng.permutation(A.shape[0])
+    As = sp.csr_matrix(A)[p][:, p].tocsr()
+    b = np.ones(As.shape[0])
+
+    _, i_ell = solve(As, b, AmgConfig(splitting="pmis"),
+                     SolveConfig(tol=1e-8))
+    _, i_band = solve(As, b, AmgConfig(splitting="pmis",
+                                       fine_layout="banded"),
+                      SolveConfig(tol=1e-8))
+    assert i_ell["stats"]["sizes"] == i_band["stats"]["sizes"]
+    assert i_ell["iterations"] == i_band["iterations"]
+    assert i_band["relres"] <= 1e-8
