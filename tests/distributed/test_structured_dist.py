@@ -122,3 +122,46 @@ def test_sdist_feature_matrix_matches_single(smoother, cycle):
     assert int(info.iterations) == int(info_ref.iterations)
     assert float(info.relres) <= 1e-8
     assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_sdist_pallas_kernel_route_matches_single():
+    """Force the Pallas route (interpret mode) inside the sharded solve on
+    the CPU mesh: the kernel-path distributed solve must match the
+    roll-path single-device solve (VERDICT r3: sharded solves must route
+    through the Pallas kernels)."""
+    from raptor_tpu.ops.pallas import dia_kernel as dk
+    from raptor_tpu.structured import dia as dia_mod
+
+    st = stencil_7pt()
+    dims = (32, 16, 16)  # 1024-element shards: >= the kernel's minimum tile
+    A = dia_from_stencil(st, dims, dtype=np.float32)
+    cfg = AmgConfig(smoother="jacobi", coarse_size=64, max_levels=30)
+    b = default_rhs(A.n, dtype=np.float32)
+
+    from raptor_tpu.structured.solver import _build_hierarchy_planned
+    plan, _ = plan_coarsening_dist(A, cfg, NDEV, "size", tail_size=256)
+    hier = _build_hierarchy_planned(A, cfg, plan)
+    x_ref, info_ref = structured_solve(hier, b, tol=1e-3, maxiter=8)
+
+    dh = distribute_structured(A, cfg, NDEV, dim_policy="size", tail_size=256)
+    calls = []
+    real = dk.dia_spmv_pallas_v2_halo
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    old = (dia_mod.USE_PALLAS, dia_mod.PALLAS_MIN_N, dia_mod.PALLAS_INTERPRET)
+    dk.dia_spmv_pallas_v2_halo = spy
+    try:
+        dia_mod.USE_PALLAS = True
+        dia_mod.PALLAS_MIN_N = 1024  # sharded fine level takes the kernel
+        dia_mod.PALLAS_INTERPRET = True
+        x, info = sdist_solve(dh, b, mesh(), tol=1e-3, maxiter=8)
+    finally:
+        dk.dia_spmv_pallas_v2_halo = real
+        dia_mod.USE_PALLAS, dia_mod.PALLAS_MIN_N, dia_mod.PALLAS_INTERPRET = old
+    assert calls, "sharded solve never traced the Pallas halo kernel"
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
