@@ -162,6 +162,119 @@ def _run_split(mesh, A_dist: DistMatrix, perm, cfg: AmgConfig, n_pad_cmp: int):
     return run(A_dist, perm)
 
 
+def _run_split_cljp(mesh, A_dist: DistMatrix, perm, gidx, cfg: AmgConfig,
+                    n_pad_cmp: int):
+    """Distributed CLJP (setup/cljp.py sharded): same integer weights, same
+    H1/H2 edge-update heuristics, with lambda decrements assembled by the
+    adjoint halo reduce.  ``gidx`` maps each dist slot to its single-device
+    (comparable) rank so the H2 random signatures match the single-device
+    trajectory bit-for-bit.  Returns (cf sharded, (ndev,) C counts)."""
+
+    def body(dm: DistMatrix, perm_shard, gidx_shard):
+        A_loc = dm.local_ell()
+        plan = dm.halo
+        n_ext = plan.n_ext
+        K = A_loc.K
+        row = A_loc.row_index()
+        smask = strength_mask(A_loc, cfg.theta, cfg.strength)
+        lam0 = halo_reduce(
+            strong_transpose_counts(A_loc, smask), plan, AXIS, op="add")
+        ones_kn = jnp.ones((K, A_loc.n_rows_pad), jnp.int32)
+
+        def scatter_dec(mask):
+            part = (
+                jnp.zeros(n_ext, jnp.int32)
+                .at[jnp.where(mask, A_loc.cols, n_ext)]
+                .add(ones_kn, mode="drop")
+            )
+            return halo_reduce(part, plan, AXIS, op="add")
+
+        # + lam0*0: inherit the varying-axes type (legal while_loop carry
+        # under shard_map check_vma; fresh zeros are replication-typed)
+        und0 = jnp.full(A_loc.n_rows_pad, UNDECIDED, jnp.int32) + lam0 * 0
+        rem0 = jax.lax.psum(jnp.sum(jnp.ones_like(und0)), AXIS)
+
+        def round_fn(state):
+            cf, lam, edges, it, _ = state
+            cf = jnp.where((cf == UNDECIDED) & (lam <= 0), F_PT, cf)
+            und = cf == UNDECIDED
+            w = splitting_weights(lam, perm_shard, n_pad_cmp)
+            neg1 = jnp.asarray(-1, w.dtype)
+
+            w_und = jnp.where(und, w, neg1)
+            w_und_ext = halo_exchange(w_und, plan, AXIS)
+            row_part = jnp.max(
+                jnp.where(edges, jnp.take(w_und_ext, A_loc.cols), neg1),
+                axis=0)
+            edge_w = jnp.where(edges, jnp.take(w_und, row), neg1)
+            col_partial = (
+                jnp.full(n_ext, neg1, w.dtype)
+                .at[jnp.where(edges, A_loc.cols, n_ext)]
+                .max(edge_w, mode="drop")
+            )
+            col_part = halo_reduce(col_partial, plan, AXIS, op="max")
+            nmax = jnp.maximum(row_part, col_part)
+            new_c = und & (w > nmax)
+            cf = jnp.where(new_c, C_PT, cf)
+
+            # H1: new C rows stop depending on their influences
+            h1 = edges & jnp.take(new_c, row)
+            dec = scatter_dec(h1)
+
+            # satisfied dependencies: edges into new C
+            new_c_ext = halo_exchange(new_c.astype(jnp.int32), plan, AXIS) > 0
+            to_c = edges & jnp.take(new_c_ext, A_loc.cols)
+
+            # H2 with random bit signatures keyed on the COMPARABLE rank so
+            # the trajectory matches the single-device cljp_splitting
+            key = jax.random.fold_in(jax.random.PRNGKey(17), it)
+            bits_full = jax.random.randint(
+                key, (n_pad_cmp,), 0, 31, dtype=jnp.int32)
+            bits = jnp.take(bits_full, gidx_shard)
+            cbit = jnp.where(new_c, jnp.left_shift(jnp.int32(1), bits), 0)
+            cbit_ext = halo_exchange(cbit, plan, AXIS)
+            sig = jnp.zeros(A_loc.n_rows_pad, jnp.int32)
+            for k in range(K):  # scatter-OR onto OWNED rows (no comm)
+                m = to_c[k]
+                contrib = jnp.where(m, jnp.take(cbit_ext, A_loc.cols[k]), 0)
+                part = (
+                    jnp.zeros(A_loc.n_rows_pad, jnp.int32)
+                    .at[jnp.where(m, row[k], A_loc.n_rows_pad)]
+                    .max(contrib, mode="drop")
+                )
+                sig = sig | part
+            still_und = und & ~new_c
+            sig_ext = halo_exchange(sig, plan, AXIS)
+            su_ext = halo_exchange(still_und.astype(jnp.int32), plan, AXIS) > 0
+            share = (jnp.take(sig, row) & jnp.take(sig_ext, A_loc.cols)) != 0
+            h2 = (edges & share & jnp.take(still_und, row)
+                  & jnp.take(su_ext, A_loc.cols))
+            dec = dec + scatter_dec(h2)
+
+            lam = lam - dec
+            edges = edges & ~h1 & ~to_c & ~h2
+            rem = jax.lax.psum(
+                jnp.sum((cf == UNDECIDED).astype(jnp.int32)), AXIS)
+            return cf, lam, edges, it + 1, rem
+
+        def cond(state):
+            _, _, _, it, rem = state
+            return (rem > 0) & (it < 500)
+
+        cf, _, _, _, _ = jax.lax.while_loop(
+            cond, round_fn, (und0, lam0, smask, jnp.int32(0), rem0))
+        cf = jnp.where(cf == UNDECIDED, F_PT, cf)
+        ccount = jnp.sum((cf == C_PT).astype(jnp.int32)).reshape(1)
+        return cf, ccount
+
+    run = _shmap(
+        mesh, body,
+        in_specs=(_dm_spec(A_dist), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+    )
+    return run(A_dist, perm, gidx)
+
+
 def _dist_lmax(A_loc, plan, dinv, n_local, iters=40, safety=1.1):
     """Distributed power iteration for lambda_max(D^{-1}A) — mirrors
     solve/smoothers.estimate_lmax with psum'd norms/dots."""
@@ -198,16 +311,44 @@ def _exchange_rows(E: EllMatrix, plan, nc_glob: int) -> EllMatrix:
     )
 
 
+def _ext2glob(cols_np: np.ndarray, nnz_np: np.ndarray, ndev: int,
+              nc_own: int, n_ext: int) -> np.ndarray:
+    """(ndev, n_ext) int32: each device's extended-index -> global-column
+    map (owned block then sorted ghosts — mirrors plan_and_remap's order).
+    Unused halo slots point at the device's first owned column; consumers
+    mask them via row_nnz."""
+    K, n_rows = cols_np.shape
+    nl = n_rows // ndev
+    mask = np.arange(K)[:, None] < nnz_np[None, :]
+    owner = cols_np // nc_own
+    shard_of_row = np.repeat(np.arange(ndev), nl)[None, :]
+    out = np.zeros((ndev, n_ext), np.int32)
+    for p in range(ndev):
+        out[p, :nc_own] = np.arange(p * nc_own, (p + 1) * nc_own)
+        sel = mask & (shard_of_row == p) & (owner != p)
+        g = np.unique(cols_np[sel])
+        out[p, nc_own:nc_own + g.size] = g
+        out[p, nc_own + g.size:] = p * nc_own
+    return out
+
+
 def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
-                ndev: int):
-    """Direct interpolation with block-padded global coarse columns, plus the
-    current level's smoother data and the next SpGEMM/transpose widths.
+                ndev: int, ext_glob: np.ndarray | None = None):
+    """Direct or modified-classical interpolation with block-padded global
+    coarse columns, plus the current level's smoother data and the next
+    SpGEMM/transpose widths.  ``ext_glob`` ((ndev, n_ext), required for
+    classical): extended-index -> global-column map so the distance-2 pass
+    can compare neighbor-row columns across shards.
 
     Returns (P_data, P_cols, P_nnz, dinv, lmax|None, k_ap, k_pt)."""
     nc_glob = ndev * max_c
     want_lmax = cfg.smoother in ("chebyshev", "cheb4")
+    classical = cfg.interp == "classical"
+    if classical:
+        assert ext_glob is not None
+        ext_glob = jnp.asarray(ext_glob)
 
-    def body(dm: DistMatrix, cf_shard):
+    def body(dm: DistMatrix, cf_shard, *rest):
         A_loc = dm.local_ell()
         plan = dm.halo
         n_local = dm.n_rows_local
@@ -219,9 +360,22 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
         is_c_ext = halo_exchange(is_c.astype(jnp.int32), plan, AXIS) > 0
         cmap_ext = halo_exchange(cmap, plan, AXIS)
 
-        Pl = direct_interpolation_core(
-            A_loc, smask, is_c, is_c_ext, cmap, cmap_ext
-        )
+        if classical:
+            from raptor_tpu.setup.interp import classical_interpolation_core
+
+            gext = rest[0][0]  # (n_ext,) ext index -> global column id
+            colsg = jnp.take(gext, A_loc.cols)  # owned rows, global ids
+            ext_data = halo_exchange_many(A_loc.data, plan, AXIS)
+            ext_colsg = halo_exchange_many(colsg, plan, AXIS)
+            ext_nnz = halo_exchange(A_loc.row_nnz, plan, AXIS)
+            Pl = classical_interpolation_core(
+                A_loc, ext_data, ext_colsg, ext_nnz, smask,
+                is_c, is_c_ext, cmap, cmap_ext, gext,
+            )
+        else:
+            Pl = direct_interpolation_core(
+                A_loc, smask, is_c, is_c_ext, cmap, cmap_ext
+            )
         Pl = dataclasses.replace(
             Pl, shape=(n_local, nc_glob), n_cols_pad=nc_glob
         )
@@ -249,12 +403,13 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
     out_specs = (P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS), P(), P())
     if want_lmax:
         out_specs += (P(),)
-    run = _shmap(
-        mesh, body,
-        in_specs=(_dm_spec(A_dist), P(AXIS)),
-        out_specs=out_specs,
-    )
-    out = run(A_dist, cf)
+    in_specs = (_dm_spec(A_dist), P(AXIS))
+    args = (A_dist, cf)
+    if classical:
+        in_specs += (P(AXIS, None),)
+        args += (ext_glob,)
+    run = _shmap(mesh, body, in_specs=in_specs, out_specs=out_specs)
+    out = run(*args)
     if not want_lmax:
         out += (None,)
     return out
@@ -406,12 +561,12 @@ def dist_build_hierarchy(
     block-padded coarse renumbering (see module docstring) and solves with
     ``dist_solve`` unchanged.
     """
-    if config.splitting != "pmis":
-        raise ValueError("dist_build_hierarchy supports splitting='pmis' "
-                         f"(got {config.splitting!r})")
-    if config.interp != "direct":
-        raise ValueError("dist_build_hierarchy supports interp='direct' "
-                         f"(got {config.interp!r})")
+    if config.splitting not in ("pmis", "cljp"):
+        raise ValueError("dist_build_hierarchy supports splitting='pmis' or "
+                         f"'cljp' (got {config.splitting!r})")
+    if config.interp not in ("direct", "classical"):
+        raise ValueError("dist_build_hierarchy supports interp='direct' or "
+                         f"'classical' (got {config.interp!r})")
     if config.aggressive:
         raise ValueError("aggressive coarsening is single-device only")
 
@@ -432,13 +587,18 @@ def dist_build_hierarchy(
     A_dist = _make_dist(jnp.asarray(A.data), cols_np, nnz_dev, ndev,
                         n_pad // ndev, A.K, A.shape)
     perm = jnp.asarray(make_perm(n_real, n_pad, config.seed))
+    gidx = jnp.arange(n_pad, dtype=jnp.int32)  # dist slot -> comparable rank
     n_pad_cmp = n_pad
 
     records = []  # (DistLevel-parts, P global pieces) per sharded level
     while True:
         if n_real <= tail_size or len(records) + 2 >= config.max_levels:
             break
-        cf, ccounts = _run_split(mesh, A_dist, perm, config, n_pad_cmp)
+        if config.splitting == "cljp":
+            cf, ccounts = _run_split_cljp(mesh, A_dist, perm, gidx, config,
+                                          n_pad_cmp)
+        else:
+            cf, ccounts = _run_split(mesh, A_dist, perm, config, n_pad_cmp)
         cc = np.asarray(ccounts)
         nc_real = int(cc.sum())
         if nc_real == 0 or nc_real >= n_real:
@@ -446,8 +606,12 @@ def dist_build_hierarchy(
         max_c = pad_rows(int(cc.max()), 8)
         nc_glob = ndev * max_c
 
+        e2g = None
+        if config.interp == "classical":
+            e2g = _ext2glob(cols_np, np.asarray(A_dist.row_nnz), ndev,
+                            n_pad // ndev, A_dist.halo.n_ext)
         (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_interp(
-            mesh, A_dist, cf, config, max_c, ndev
+            mesh, A_dist, cf, config, max_c, ndev, ext_glob=e2g
         )
         *ap_pt, k_ac = _run_rap(
             mesh, A_dist, (P_data, P_cols, P_nnz),
@@ -483,10 +647,14 @@ def dist_build_hierarchy(
         ps = np.asarray(make_perm(nc_real, n_pad_cmp,
                                   config.seed + len(records)))
         pd = np.zeros(nc_glob, dtype=np.int32)
+        gd = np.full(nc_glob, n_pad_cmp - 1, dtype=np.int32)
         off = np.concatenate([[0], np.cumsum(cc)[:-1]])
         for p in range(ndev):
             pd[p * max_c: p * max_c + cc[p]] = ps[off[p]: off[p] + cc[p]]
+            gd[p * max_c: p * max_c + cc[p]] = np.arange(
+                off[p], off[p] + cc[p], dtype=np.int32)
         perm = jnp.asarray(pd)
+        gidx = jnp.asarray(gd)
 
     if not records:
         raise ValueError(

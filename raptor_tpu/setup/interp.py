@@ -119,29 +119,97 @@ def direct_interpolation(
     return P, nc
 
 
-def _assemble_p(A: EllMatrix, strong_c, pvals, cmap, is_c):
+def _assemble_p_views(A: EllMatrix, strong_c, pvals, is_c_row, cmap_row,
+                      cmap_col):
     """Compact slot-aligned P values into an ELL (shared by direct and
-    classical interpolation)."""
+    classical interpolation).  ``cmap_col`` is indexed by A's column space,
+    ``is_c_row``/``cmap_row`` by its row space (identical on one device;
+    halo-extended column views in the distributed setup)."""
     K, n = A.data.shape
     slotpos = jnp.cumsum(strong_c.astype(jnp.int32), axis=0) - 1
     posk = jnp.where(strong_c, slotpos, K)
     lane = jax.lax.broadcasted_iota(jnp.int32, (K, n), 1)
-    pcols = jnp.take(cmap, A.cols)
+    pcols = jnp.take(cmap_col, A.cols)
     P_data = jnp.zeros((K, n), A.dtype).at[posk, lane].add(pvals, mode="drop")
     P_cols = jnp.zeros((K, n), jnp.int32).at[posk, lane].max(pcols, mode="drop")
     p_nnz = jnp.sum(strong_c, axis=0).astype(jnp.int32)
 
     k0 = jax.lax.broadcasted_iota(jnp.int32, (K, n), 0) == 0
-    own = jnp.where(k0, cmap[None, :], 0)
-    P_data = jnp.where(is_c[None, :], jnp.where(k0, 1.0, 0.0).astype(A.dtype),
-                       P_data)
-    P_cols = jnp.where(is_c[None, :], own, P_cols)
-    p_nnz = jnp.where(is_c, 1, p_nnz)
+    own = jnp.where(k0, cmap_row[None, :], 0)
+    P_data = jnp.where(is_c_row[None, :],
+                       jnp.where(k0, 1.0, 0.0).astype(A.dtype), P_data)
+    P_cols = jnp.where(is_c_row[None, :], own, P_cols)
+    p_nnz = jnp.where(is_c_row, 1, p_nnz)
     return EllMatrix(
         data=P_data, cols=P_cols, row_nnz=p_nnz,
         shape=(A.shape[0], A.n_rows_pad),
         n_rows_pad=A.n_rows_pad, n_cols_pad=A.n_rows_pad,
     )
+
+
+def classical_interpolation_core(
+    A: EllMatrix,
+    ext_data: jax.Array,
+    ext_cols_glob: jax.Array,
+    ext_nnz: jax.Array,
+    smask: jax.Array,
+    is_c_row: jax.Array,
+    is_c_col: jax.Array,
+    cmap_row: jax.Array,
+    cmap_col: jax.Array,
+    gcol: jax.Array,
+) -> EllMatrix:
+    """Modified-classical interpolation body with caller-supplied views.
+
+    The distance-2 pass gathers NEIGHBOR ROWS: ``ext_data``/``ext_cols_glob``
+    /``ext_nnz`` hold a row for every index A's columns can reference (on a
+    single device: A's own arrays; distributed: the halo-extended rows from
+    ``parallel.dist_setup``), with ``ext_cols_glob`` in a GLOBAL column id
+    space so ids from different shards compare correctly.  ``gcol`` maps A's
+    (extended) column indices to the same global space.  No communication
+    happens in here — same contract as ``direct_interpolation_core``.
+    """
+    K, n = A.data.shape
+    K2 = ext_data.shape[0]
+    row = A.row_index()
+    off = (A.cols != row) & A.slot_mask()
+    a = A.data
+
+    strong_c = smask & jnp.take(is_c_col, A.cols)
+    strong_f = smask & ~jnp.take(is_c_col, A.cols) & off
+    weak = off & ~smask
+
+    w = jnp.where(strong_c, a, 0.0)  # direct a_ij part, slot-aligned
+    dii = A.diagonal() + jnp.sum(jnp.where(weak, a, 0), axis=0)
+
+    # row i's strong-C GLOBAL column set (sentinel -1 elsewhere)
+    sC_cols = jnp.where(strong_c, jnp.take(gcol, A.cols), -1)
+
+    for k1 in range(K):
+        kk = A.cols[k1]  # (n,) neighbor ids (extended space)
+        a_ik = a[k1]
+        active = strong_f[k1]
+        rowk_cols = jnp.take(ext_cols_glob, kk, axis=1)  # (K2, n) global ids
+        rowk_vals = jnp.take(ext_data, kk, axis=1)
+        rowk_nnz = jnp.take(ext_nnz, kk)
+        k2 = jax.lax.broadcasted_iota(jnp.int32, (K2, n), 0)
+        rowk_mask = k2 < rowk_nnz[None, :]
+        eq = rowk_cols[:, None, :] == sC_cols[None, :, :]  # (K2, KC, n)
+        memb = jnp.any(eq, axis=1) & rowk_mask  # (K2, n)
+        den = jnp.sum(jnp.where(memb, rowk_vals, 0), axis=0)  # (n,)
+        has = jnp.any(memb, axis=0) & (den != 0)
+        coef = jnp.where(active & has,
+                         a_ik / jnp.where(den != 0, den, 1), 0.0)
+        # per strong-C slot kc: sum of a_kj that landed there
+        add = jnp.sum(
+            jnp.where(eq & rowk_mask[:, None, :], rowk_vals[:, None, :], 0),
+            axis=0,
+        )  # (KC, n)
+        w = w + coef[None, :] * add
+        dii = dii + jnp.where(active & ~has, a_ik, 0)
+
+    pvals = jnp.where(strong_c, -w / dii[None, :], 0)
+    return _assemble_p_views(A, strong_c, pvals, is_c_row, cmap_row, cmap_col)
 
 
 @jax.jit
@@ -159,49 +227,11 @@ def classical_interpolation(
     the diagonal.  The distance-2 pass loops over the (static) K slots and
     gathers neighbor rows spgemm-style — peak memory K^2 * n per step
     (SURVEY.md §3b stack 2; setup-only)."""
-    K, n = A.data.shape
     is_c = cf == C_PT
-    is_f = ~is_c
     cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
-    row = A.row_index()
-    off = (A.cols != row) & A.slot_mask()
-    a = A.data
-
-    strong_c = smask & jnp.take(is_c, A.cols)
-    strong_f = smask & jnp.take(is_f, A.cols) & off
-    weak = off & ~smask
-
-    w = jnp.where(strong_c, a, 0.0)  # direct a_ij part, slot-aligned
-    dii = A.diagonal() + jnp.sum(jnp.where(weak, a, 0), axis=0)
-
-    # row i's strong-C column set (sentinel -1 elsewhere)
-    sC_cols = jnp.where(strong_c, A.cols, -1)
-
-    for k1 in range(K):
-        kk = A.cols[k1]  # (n,) neighbor ids
-        a_ik = a[k1]
-        active = strong_f[k1]
-        rowk_cols = jnp.take(A.cols, kk, axis=1)  # (K, n)
-        rowk_vals = jnp.take(a, kk, axis=1)
-        rowk_nnz = jnp.take(A.row_nnz, kk)
-        k2 = jax.lax.broadcasted_iota(jnp.int32, (K, n), 0)
-        rowk_mask = k2 < rowk_nnz[None, :]
-        eq = rowk_cols[:, None, :] == sC_cols[None, :, :]  # (K2, KC, n)
-        memb = jnp.any(eq, axis=1) & rowk_mask  # (K2, n)
-        den = jnp.sum(jnp.where(memb, rowk_vals, 0), axis=0)  # (n,)
-        has = jnp.any(memb, axis=0) & (den != 0)
-        coef = jnp.where(active & has,
-                         a_ik / jnp.where(den != 0, den, 1), 0.0)
-        # per strong-C slot kc: sum of a_kj that landed there
-        add = jnp.sum(
-            jnp.where(eq & rowk_mask[:, None, :], rowk_vals[:, None, :], 0),
-            axis=0,
-        )  # (KC, n)
-        w = w + coef[None, :] * add
-        dii = dii + jnp.where(active & ~has, a_ik, 0)
-
-    pvals = jnp.where(strong_c, -w / dii[None, :], 0)
-    P = _assemble_p(A, strong_c, pvals, cmap, is_c)
+    gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
+    P = classical_interpolation_core(
+        A, A.data, A.cols, A.row_nnz, smask, is_c, is_c, cmap, cmap, gcol)
     return P, jnp.sum(is_c.astype(jnp.int32))
 
 

@@ -151,3 +151,102 @@ def test_dist_algebraic_setup_mcgs_cheb():
         bd[:n] = b
         x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
         assert float(info.relres) <= 1e-8, smoother
+
+
+def test_dist_cljp_matches_single_device():
+    """Finest-level distributed CLJP == single-device CLJP bit-for-bit:
+    same integer weights, same H1/H2 trajectory (the H2 random signatures
+    key on the comparable global rank)."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.parallel.dist_setup import _run_split_cljp
+    from raptor_tpu.setup.cljp import cljp_splitting
+
+    A = poisson_3d(12)
+    cfg = _cfg(splitting="cljp")
+    E = ell_from_csr(A, dtype=np.float32, row_pad_multiple=8 * NDEV)
+    smask = strength_mask(E, cfg.theta, cfg.strength)
+    perm = make_perm(E.shape[0], E.n_rows_pad, cfg.seed)
+    cf_ref = cljp_splitting(E, smask, perm)
+
+    from raptor_tpu.parallel.partition import distribute_matrix
+
+    mesh = make_solve_mesh(NDEV)
+    A_dist = distribute_matrix(E, NDEV)
+    gidx = jnp.arange(E.n_rows_pad, dtype=np.int32)
+    cf, ccounts = _run_split_cljp(mesh, A_dist, perm, gidx, cfg,
+                                  E.n_rows_pad)
+    assert np.array_equal(np.asarray(cf), np.asarray(cf_ref))
+    assert int(np.asarray(ccounts).sum()) == int(
+        np.sum(np.asarray(cf_ref) == C_PT))
+
+
+def test_dist_cljp_setup_solves():
+    """dist_build_hierarchy with splitting='cljp' (config-2-style CLJP
+    configuration, VERDICT r3 item 6) builds a multi-level hierarchy whose
+    distributed solve reaches 1e-8, verified against scipy fp64."""
+    A = poisson_3d(14)
+    n = A.shape[0]
+    cfg = _cfg(splitting="cljp")
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_hierarchy(A, cfg, mesh=mesh, tail_size=256,
+                              dtype=np.float64)
+    hier = build_hierarchy(
+        ell_from_csr(A, dtype=np.float64, row_pad_multiple=8 * NDEV), cfg)
+    assert dh.levels[0].n == hier.levels[0].n
+    if len(dh.levels) > 1:
+        assert dh.levels[1].n == hier.levels[1].n
+
+    b = default_rhs(n, dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[:n] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    xn = np.asarray(x)[:n]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_dist_classical_interp_matches_single():
+    """Distributed modified-classical interpolation (VERDICT r3 item 6):
+    owned-row P values equal the single-device classical P bit-for-bit
+    (neighbor rows exchanged whole; identical arithmetic), up to the
+    block-padded coarse renumbering — checked via sorted |weights|."""
+    A = poisson_3d(12)
+    cfg = _cfg(interp="classical")
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_hierarchy(A, cfg, mesh=mesh, tail_size=256,
+                              dtype=np.float64)
+    hier = build_hierarchy(
+        ell_from_csr(A, dtype=np.float64, row_pad_multiple=8 * NDEV), cfg)
+    assert dh.levels[0].n == hier.levels[0].n
+    if len(dh.levels) > 1:
+        assert dh.levels[1].n == hier.levels[1].n
+
+    # level-0 P row multiset: per-row sorted weight vectors must agree
+    Pd = np.asarray(dh.bridge_P.data if len(dh.levels) == 1
+                    else dh.levels[0].Pmat.data, np.float64)
+    Pn = np.asarray(dh.bridge_P.row_nnz if len(dh.levels) == 1
+                    else dh.levels[0].Pmat.row_nnz)
+    Pd_ref = np.asarray(hier.levels[0].P.data, np.float64)
+    Pn_ref = np.asarray(hier.levels[0].P.row_nnz)
+    n = hier.levels[0].n
+    r1 = np.sort(np.where(np.arange(Pd.shape[0])[:, None] < Pn[None, :n],
+                          Pd[:, :n], np.inf), axis=0)
+    r2 = np.sort(np.where(np.arange(Pd_ref.shape[0])[:, None] < Pn_ref[None, :n],
+                          Pd_ref[:, :n], np.inf), axis=0)
+    kmin = min(r1.shape[0], r2.shape[0])
+    assert np.allclose(r1[:kmin], r2[:kmin], rtol=0, atol=1e-13, equal_nan=True)
+
+    # and the hierarchy solves
+    from raptor_tpu.gallery import default_rhs
+
+    n0 = A.shape[0]
+    b = default_rhs(n0, dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[:n0] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    xn = np.asarray(x)[:n0]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
