@@ -129,14 +129,33 @@ def _strength_ell(C: EllMatrix, smask, with_diag: bool) -> EllMatrix:
     )
 
 
+# joins that would push an aggregate past this size are refused (capping is
+# per-round approximate: same-round joiners can overshoot slightly).  Large
+# aggregates degrade SA interpolation quality and blow up the tentative-QR
+# batch width at scale (VERDICT r2 next #9); a 3D distance-2 aggregate is
+# ~27 nodes, so 64 only clips pathological accretion.
+AGG_SIZE_CAP = 64
+
+
+def _agg_sizes(agg):
+    """(nn+1,) current aggregate sizes (ids are < nn; -1 -> slot nn)."""
+    nn = agg.shape[0]
+    tgt = jnp.where(agg >= 0, agg, nn)
+    return jnp.zeros(nn + 1, jnp.int32).at[tgt].add(1, mode="drop")
+
+
 @jax.jit
 def _assign_rounds(G: EllMatrix, smask_g, agg, w):
     """Two rounds: unaggregated nodes join the strong neighbor's aggregate
-    with the largest weight (ties by aggregate id)."""
+    with the largest weight (ties by aggregate id), skipping aggregates at
+    the size cap."""
+    nn = agg.shape[0]
 
     def one_round(agg):
+        sizes = _agg_sizes(agg)
         nbr_agg = jnp.take(agg, G.cols)
-        cand = smask_g & (nbr_agg >= 0)
+        room = jnp.take(sizes, jnp.clip(nbr_agg, 0, nn)) < AGG_SIZE_CAP
+        cand = smask_g & (nbr_agg >= 0) & room
         wn = jnp.where(cand, jnp.take(w, G.cols), -1)
         m = jnp.max(wn, axis=0)
         pick = jnp.max(jnp.where(cand & (wn == m[None, :]), nbr_agg, -1), axis=0)
@@ -145,6 +164,25 @@ def _assign_rounds(G: EllMatrix, smask_g, agg, w):
     agg = one_round(agg)
     agg = one_round(agg)
     return agg
+
+
+@jax.jit
+def _join_smallest(C: EllMatrix, agg):
+    """Straggler pass (VERDICT r2 next #9): nodes still unaggregated after
+    the strong-edge rounds join the SMALLEST adjacent aggregate over the
+    full nodal pattern (weak edges included) — a slightly weak member beats
+    a rank-deficient singleton against nc candidates."""
+    nn = agg.shape[0]
+    off = (C.cols != C.row_index()) & C.slot_mask()
+    sizes = _agg_sizes(agg)
+    nbr_agg = jnp.take(agg, C.cols)
+    cand = off & (nbr_agg >= 0)
+    # prefer small: weight = -size (ties -> larger aggregate id)
+    wn = jnp.where(cand, -jnp.take(sizes, jnp.clip(nbr_agg, 0, nn)),
+                   -jnp.int32(2**30))
+    m = jnp.max(wn, axis=0)
+    pick = jnp.max(jnp.where(cand & (wn == m[None, :]), nbr_agg, -1), axis=0)
+    return jnp.where((agg < 0) & (pick >= 0), pick, agg)
 
 
 def aggregate(C: EllMatrix, smask, seed: int):
@@ -174,8 +212,10 @@ def aggregate(C: EllMatrix, smask, seed: int):
 
     w = jnp.minimum(jnp.sum(smask, axis=0), 63) * nn + perm  # assignment pref
     agg = _assign_rounds(G, smask, agg, w)
+    # straggler pass: join the smallest adjacent aggregate (full pattern)
+    agg = jnp.where(is_real, _join_smallest(C, agg), agg)
 
-    # stragglers (real, still unassigned): their own aggregates
+    # truly isolated leftovers: their own aggregates
     strag = is_real & (agg < 0)
     n_so_far = int(jnp.sum(root_like))
     extra = jnp.cumsum(strag.astype(jnp.int32)) - 1

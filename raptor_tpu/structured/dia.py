@@ -206,10 +206,11 @@ PALLAS_MIN_N: int = 32768
 # run routed Pallas kernels in interpret mode (CPU-mesh tests exercise the
 # real kernel paths inside shard_map this way; never set in production)
 PALLAS_INTERPRET: bool = False
-# constant-stencil levels synthesize their planes from iota masks and ride
-# XLA rolls (zero data traffic) — until the level is large enough that XLA's
-# roll materialization costs more than streaming the planes through the
-# Pallas kernel (measured crossover between 128^3 and 256^3 fine levels)
+# constant-stencil levels below this ride XLA rolls with synthesized planes
+# (fuses well at small sizes); above it the dedicated const-synthesis Pallas
+# kernel (dia_spmv_pallas_const) wins — measured 3.7 ms (rolls) / 2.0 ms
+# (bf16 streaming v2) / 1.0 ms (const kernel) per SpMV at 256^3, identical
+# within noise at 128^3
 PALLAS_CONST_MIN_N: int = 4 * 1024 * 1024
 
 
@@ -231,16 +232,31 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """
     lins = A.linear_offsets()
     if (_pallas_route() and A.n >= PALLAS_MIN_N and A.n % 128 == 0
-            and (A.const_planes is None or A.n >= PALLAS_CONST_MIN_N)
-            and A.data.dtype in (jnp.float32, jnp.bfloat16)
             and x.dtype == jnp.float32):
-        try:
-            from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
+        if (A.const_planes is not None
+                and all(c is not None for c in A.const_planes)):
+            if A.n >= PALLAS_CONST_MIN_N:
+                # constant-coefficient stencil: the kernel synthesizes plane
+                # values from iota boundary masks — reads ONLY x, no
+                # operator data at all
+                try:
+                    from raptor_tpu.ops.pallas.dia_kernel import (
+                        dia_spmv_pallas_const)
 
-            return dia_spmv_pallas_v2(A.data, lins, x,
-                                      interpret=PALLAS_INTERPRET)
-        except ValueError:
-            pass  # no viable tile for this shape: XLA roll path below
+                    return dia_spmv_pallas_const(A.const_planes, A.offsets,
+                                                 A.dims, x,
+                                                 interpret=PALLAS_INTERPRET)
+                except ValueError:
+                    pass
+            # small const levels: XLA rolls with synthesized planes below
+        elif A.data.dtype in (jnp.float32, jnp.bfloat16):
+            try:
+                from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
+
+                return dia_spmv_pallas_v2(A.data, lins, x,
+                                          interpret=PALLAS_INTERPRET)
+            except ValueError:
+                pass  # no viable tile for this shape: XLA roll path below
     y = None
     cp = A.const_planes
     for k, o in enumerate(lins):

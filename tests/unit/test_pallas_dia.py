@@ -143,3 +143,46 @@ def test_pallas_v2_halo_interpret(halo):
         A.data, lins, jnp.asarray(x), jnp.asarray(hl), jnp.asarray(hr),
         tile=1024, interpret=True))
     assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("dims", [(16, 16, 16), (8, 16, 32), (64, 64)])
+def test_pallas_const_kernel_interpret(dims):
+    """Const-stencil kernel (in-kernel plane synthesis from iota boundary
+    masks) must match the scipy operator exactly."""
+    from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_const
+
+    if len(dims) == 3:
+        st = stencil_7pt()
+    else:
+        st = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], float)
+    A = dia_from_stencil(st, dims, dtype=np.float32)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(A.n).astype(np.float32)
+    ref = stencil_grid(st, dims) @ x.astype(np.float64)
+    y = np.asarray(dia_spmv_pallas_const(
+        A.const_planes, A.offsets, A.dims, jax.numpy.asarray(x),
+        tile=1024, interpret=True))
+    assert np.allclose(y, ref, atol=1e-4 * np.abs(ref).max())
+
+
+def test_pallas_v2_bf16_data_interpret():
+    """bf16 operator data / fp32 x through the v2 kernel (the production
+    preconditioner configuration, VERDICT r3 item 5): accumulation happens
+    in fp32 (data cast up per-term), so the result must match the fp32
+    kernel to bf16 rounding of the operator entries."""
+    from raptor_tpu.ops.pallas.dia_kernel import dia_spmv_pallas_v2
+
+    st = stencil_7pt()
+    dims = (16, 16, 16)
+    A = dia_from_stencil(st, dims, dtype=np.float32)
+    rng = np.random.default_rng(5)
+    x = jax.numpy.asarray(rng.standard_normal(A.n).astype(np.float32))
+    lins = A.linear_offsets()
+    y32 = np.asarray(dia_spmv_pallas_v2(A.data, lins, x, tile=1024,
+                                        interpret=True))
+    yb = np.asarray(dia_spmv_pallas_v2(
+        A.data.astype(jax.numpy.bfloat16), lins, x, tile=2048,
+        interpret=True))  # bf16 data needs 16-row sublane tiles (>= 2048)
+    # stencil entries (-1, 6) are bf16-exact -> results should agree to fp32
+    # reduction noise
+    assert np.allclose(yb, y32, atol=1e-5 * np.abs(y32).max())
