@@ -31,10 +31,16 @@ def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hierarchy:
     if config.splitting in ("aggregation",) or config.interp == "smoothed":
         from raptor_tpu.setup.aggregation import build_sa_hierarchy
 
-        return build_sa_hierarchy(A, config, dtype=dtype)
-    if config.fine_layout == "banded":
-        return _setup_banded(A, config, dtype)
-    return build_hierarchy(A, config, dtype=dtype)
+        hier = build_sa_hierarchy(A, config, dtype=dtype)
+    elif config.fine_layout == "banded":
+        hier = _setup_banded(A, config, dtype)
+    else:
+        hier = build_hierarchy(A, config, dtype=dtype)
+    if config.tail_max_n > 0:
+        from raptor_tpu.solve.cycle import materialize_tail
+
+        hier = materialize_tail(hier, config.tail_max_n)
+    return hier
 
 
 # levels below this stay on the scalar ELL path: tiny operators are
@@ -68,12 +74,15 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     ar = a[p][:, p].tocsr()
 
     pm_mult = int(np.lcm(config.pad_multiple, 1024))
-    E = ell_from_csr(ar, dtype=dtype, row_pad_multiple=pm_mult)
+    # device=False / stage=False: the banded layout attach below reads every
+    # level's arrays on host — keep the whole build in numpy and upload the
+    # finished hierarchy once (each device pull is a full tunnel round trip)
+    E = ell_from_csr(ar, dtype=dtype, row_pad_multiple=pm_mult, device=False)
     cfg = dataclasses.replace(config, pad_multiple=pm_mult)
     # row_ids=p: PMIS weights key on ORIGINAL row ids, so the C/F sets (and
     # hence Krylov iteration counts) are identical to the unpermuted build
     # (VERDICT r2 weak #4: the RCM-seeded order cost ~3 iterations)
-    hier = build_hierarchy(E, cfg, dtype=dtype, row_ids=p)
+    hier = build_hierarchy(E, cfg, dtype=dtype, row_ids=p, stage=False)
 
     from raptor_tpu.core.hybrid import rect_banded_from_ell
 
@@ -99,10 +108,11 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     perm[:n] = p
     iperm = np.arange(n_pad, dtype=np.int32)
     iperm[:n][p] = np.arange(n)
-    return dataclasses.replace(
-        hier, levels=tuple(levels),
-        perm=jnp.asarray(perm), iperm=jnp.asarray(iperm),
-    )
+    from raptor_tpu.setup.hierarchy import stage_hierarchy
+
+    return stage_hierarchy(dataclasses.replace(
+        hier, levels=tuple(levels), perm=perm, iperm=iperm,
+    ))
 
 
 @partial(jax.jit, static_argnames=("maxiter", "outer"))
@@ -285,8 +295,10 @@ def solve(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
             b_lo=bdl,
         )
-        x64 = (np.asarray(xh[:n], np.float64)
-               + np.asarray(xl[:n], np.float64))
+        # one batched fetch: each host sync is a full round trip on
+        # remote-tunnel backends, so pull all four results together
+        xh_h, xl_h, relres, iters = jax.device_get((xh, xl, relres, iters))
+        x64 = (xh_h[:n].astype(np.float64) + xl_h[:n].astype(np.float64))
         x64 = _deperm(x64, pm)
         return x64, {
             "iterations": int(iters),

@@ -67,6 +67,13 @@ class AmgConfig:
     # BandedMatrix (core/hybrid.py) — the paged dynamic-gather Pallas
     # kernel, ~20x the gather ELL SpMV on non-grid matrices
     fine_layout: str = "ell"
+    # dense coarse tail: the sub-cycle below the first level with
+    # n <= tail_max_n is a LINEAR operator, so setup materializes it once
+    # (vmap over identity columns) and the solve replaces that whole
+    # recursion — hundreds of latency-bound tiny SpMVs — with ONE dense
+    # MXU matvec (docs/DESIGN.md §4).  0 disables.  Memory: tail_max_n^2
+    # operator entries (4096^2 fp32 = 64 MiB).
+    tail_max_n: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -675,6 +675,11 @@ def dist_build_hierarchy(
         config, max_levels=max(config.max_levels - len(records), 1)
     )
     tail = build_hierarchy(A_tail, tail_cfg, dtype=A_tail.dtype)
+    if config.tail_max_n > 0:
+        # fold the replicated tail cycle into one dense matvec (min_start=0)
+        from raptor_tpu.solve.cycle import materialize_tail
+
+        tail = materialize_tail(tail, config.tail_max_n, min_start=0)
 
     # ---- assemble DistLevels; last sharded level bridges globally ----
     last = records[-1]

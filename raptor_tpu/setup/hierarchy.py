@@ -85,8 +85,8 @@ class Level:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv", "perm", "iperm"],
-    meta_fields=["config"],
+    data_fields=["levels", "coarse_inv", "perm", "iperm", "tail_op"],
+    meta_fields=["config", "tail_start"],
 )
 @dataclasses.dataclass(frozen=True)
 class Hierarchy:
@@ -98,6 +98,11 @@ class Hierarchy:
     # rhs in and the solution out).  None for identity ordering.
     perm: Optional[jax.Array] = None
     iperm: Optional[jax.Array] = None
+    # dense coarse tail (config.tail_max_n, solve/cycle.materialize_tail):
+    # the whole sub-cycle at level tail_start as ONE dense MXU matvec —
+    # replaces the latency-bound tiny-level SpMV chain below it
+    tail_op: Optional[jax.Array] = None
+    tail_start: int = -1
 
     @property
     def num_levels(self) -> int:
@@ -239,8 +244,19 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf
 
 
+def stage_hierarchy(hier: Hierarchy) -> Hierarchy:
+    """Move any host-numpy leaves of a hierarchy to the device in one async
+    batch (the host setup tail builds in numpy; a hierarchy must not keep
+    numpy leaves or every solve call re-uploads them)."""
+    def put(x):
+        return jax.device_put(x) if isinstance(x, np.ndarray) else x
+
+    return jax.tree_util.tree_map(put, hier)
+
+
 def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
-                    row_ids: "np.ndarray | None" = None) -> Hierarchy:
+                    row_ids: "np.ndarray | None" = None,
+                    stage: bool = True) -> Hierarchy:
     """Build an AMG hierarchy from a scipy.sparse matrix or EllMatrix.
 
     Classical path (RS / PMIS / CLJP splitting + direct or modified-classical
@@ -262,7 +278,12 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
     VERDICT r2 weak #4).  Tracked through the levels via the per-level cf.
     """
     if not isinstance(A, EllMatrix):
-        A = ell_from_csr(A, dtype=dtype, row_pad_multiple=config.pad_multiple)
+        # host-side arrays: the host setup tail reads them for free, and a
+        # device push before host work would cost a pull straight back
+        # (~16s/array on remote-tunnel backends); stage_hierarchy uploads
+        # everything once at the end
+        A = ell_from_csr(A, dtype=dtype, row_pad_multiple=config.pad_multiple,
+                         device=False)
 
     from raptor_tpu.setup.splitting import make_perm_ids
 
@@ -278,7 +299,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         ):
             from raptor_tpu.setup.host_setup import host_build_tail
 
-            return host_build_tail(A, levels, config, dtype, row_ids=ids)
+            hier = host_build_tail(A, levels, config, dtype, row_ids=ids)
+            return stage_hierarchy(hier) if stage else hier
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
             perm = (make_perm_ids(ids, A.n_rows_pad,
                                   config.seed + len(levels))
@@ -359,7 +381,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
               n=n, ncolors=ncolors)
     )
     inv = _dense_inverse(A)
-    return Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
+    hier = Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
+    return stage_hierarchy(hier) if stage else hier
 
 
 def _rs_split_device(A: EllMatrix, smask) -> jax.Array:
@@ -378,14 +401,33 @@ def _rs_split_device(A: EllMatrix, smask) -> jax.Array:
     return jnp.asarray(cf.astype(np.int32))
 
 
+# id-keyed stats cache: per-level nnz needs device fetches, and api.solve
+# reports stats on EVERY call — over a remote-tunnel backend each sync is
+# tens of ms, so repeated solves were paying ~6 round-trips of pure
+# bookkeeping.  Keyed on id(hier) (hierarchies are frozen); bounded.
+_STATS_CACHE: dict[tuple, dict] = {}
+
+
 def hierarchy_stats(hier: Hierarchy) -> dict[str, Any]:
     """Grid/operator complexity report (SURVEY.md §5.5)."""
+    # level sizes in the key guard against id() reuse after gc (stats are
+    # informational, so a residual collision would be benign anyway)
+    key = (id(hier), tuple(lev.n for lev in hier.levels))
+    hit = _STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
     sizes = [lev.n for lev in hier.levels]
-    nnzs = [int(lev.A.nnz) for lev in hier.levels]
-    return {
+    # ONE device fetch for all levels (not one sync per level)
+    nnzs = [int(v) for v in np.asarray(
+        jnp.stack([lev.A.nnz for lev in hier.levels]))]
+    out = {
         "levels": len(sizes),
         "sizes": sizes,
         "nnz": nnzs,
         "grid_complexity": float(sum(sizes) / sizes[0]),
         "operator_complexity": float(sum(nnzs) / nnzs[0]),
     }
+    if len(_STATS_CACHE) > 64:
+        _STATS_CACHE.clear()
+    _STATS_CACHE[key] = out
+    return out

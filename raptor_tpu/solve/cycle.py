@@ -13,6 +13,9 @@ coarse matrices are latency-bound, so direct-solve them).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from typing import TYPE_CHECKING
@@ -158,6 +161,10 @@ def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
     import jax
 
     lev = hier.levels[k]
+    if k == getattr(hier, "tail_start", -1) and hier.tail_op is not None:
+        # dense coarse tail: the materialized sub-cycle in one MXU matvec
+        with jax.named_scope(f"L{k}.dense_tail"):
+            return (hier.tail_op @ b).astype(b.dtype)
     if k == len(hier.levels) - 1:
         with jax.named_scope(f"L{k}.coarse_solve"):
             return _coarse_solve(hier, b)
@@ -192,3 +199,60 @@ def make_preconditioner(hier: Hierarchy):
         return _level(hier, cfg, 0, r)
 
     return M
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _level_dense(lev: Level, cfg: AmgConfig, Meff):
+    """Dense matrix of ONE level's cycle body with the recursion replaced
+    by the (already dense) coarse map ``Meff``.  Composing the tail
+    bottom-up from per-level bodies keeps each compiled program small
+    (one nested batched cycle program took minutes to compile).  Callers
+    strip banded layouts first — the Pallas gather kernel doesn't vmap,
+    and the scalar ELL path applies the SAME matrix."""
+    eye = jnp.eye(lev.A.n_rows_pad, dtype=lev.dinv.dtype)
+
+    def step(c):
+        x = _smooth(lev, cfg, c, jnp.zeros_like(c), backward=False)
+        r = c - apply_op(lev, x)
+        rc = spmv(lev.R, r)
+        ec = Meff @ rc
+        x = x + spmv(lev.P, ec)
+        return _smooth(lev, cfg, c, x, backward=True)
+
+    return jax.vmap(step)(eye).T
+
+
+@jax.jit
+def _dense_ell(A) -> jax.Array:
+    """Dense matrix of an ELL operator (for the W-cycle coarse revisit)."""
+    eye = jnp.eye(A.n_rows_pad, dtype=jnp.float32)
+    return jax.vmap(lambda c: spmv(A, c))(eye).T
+
+
+def materialize_tail(hier: Hierarchy, max_n: int,
+                     min_start: int = 1) -> "Hierarchy":
+    """Fold the coarse tail of the cycle into one dense operator: every
+    level below the first one (never the fine level) with padded size
+    <= max_n — smoothers, transfers, recursion, coarse solve — collapses
+    into tail_op, replacing dozens of latency-bound tiny SpMVs with one
+    MXU matvec (the algebraic counterpart of
+    structured.solver.materialize_tail; docs/DESIGN.md §4)."""
+    import dataclasses
+
+    ts = next((i for i in range(min_start, len(hier.levels))
+               if hier.levels[i].A.n_rows_pad <= max_n), None)
+    if ts is None or ts >= len(hier.levels) - 1:
+        return hier  # nothing to fold (coarsest is already one dense matvec)
+    cfg = hier.config
+    M = hier.coarse_inv.astype(hier.levels[ts].dinv.dtype)
+    for k in range(len(hier.levels) - 2, ts - 1, -1):
+        if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
+            # ec = M rc + M (rc - A' M rc)  ->  Meff = 2M - M A' M
+            Ad = _dense_ell(hier.levels[k + 1].A)
+            Meff = 2.0 * M - M @ Ad @ M
+        else:
+            Meff = M
+        lev = dataclasses.replace(hier.levels[k], Aband=None, Pband=None,
+                                  Rband=None)
+        M = _level_dense(lev, cfg, Meff)
+    return dataclasses.replace(hier, tail_op=M, tail_start=ts)

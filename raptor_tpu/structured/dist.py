@@ -153,6 +153,12 @@ def distribute_structured(
     )
     tail = SHierarchy(levels=tail_levels, coarse_inv=hier.coarse_inv,
                       config=config)
+    if config.tail_max_n > 0:
+        # replace the whole replicated coarse cycle with one dense matvec
+        # (min_start=0: the dist tail is already coarse at its level 0)
+        from raptor_tpu.structured.solver import materialize_tail
+
+        tail = materialize_tail(tail, config.tail_max_n, min_start=0)
     return SDistHierarchy(levels=tuple(dlevels), tail=tail,
                           config=config, ndev=ndev)
 

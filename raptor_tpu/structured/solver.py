@@ -70,14 +70,19 @@ class SLevel:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv"],
-    meta_fields=["config"],
+    data_fields=["levels", "coarse_inv", "tail_op"],
+    meta_fields=["config", "tail_start"],
 )
 @dataclasses.dataclass(frozen=True)
 class SHierarchy:
     levels: Tuple[SLevel, ...]
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
     config: AmgConfig
+    # dense coarse tail (config.tail_max_n, docs/DESIGN.md §4): the whole
+    # sub-cycle at level tail_start, materialized as ONE dense matrix — the
+    # cycle recursion below tail_start becomes a single MXU matvec
+    tail_op: Optional[jax.Array] = None
+    tail_start: int = -1
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +438,74 @@ def build_structured_hierarchy(
     hier = _build_hierarchy_planned(A, config, plan)
     if config.operator_store_dtype != "same":
         hier = cast_hierarchy(hier, jnp.dtype(config.operator_store_dtype))
+    if config.tail_max_n > 0:
+        # cap below the config default: DIA rolls on tiny levels are already
+        # cheap (measured 128^3 V-cycle: fold@2048 neutral, fold@4096 +0.5ms
+        # — the 32 MiB matvec read outweighs the folded levels); the fold
+        # still pays on the *distributed* replicated tail (program size)
+        hier = materialize_tail(hier, min(config.tail_max_n, 2048))
     return hier
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _slevel_dense(lev: SLevel, cfg: AmgConfig, Meff: jax.Array) -> jax.Array:
+    """Dense matrix of ONE level's cycle body with the recursion replaced
+    by the (already dense) coarse map ``Meff`` — vmapping just this level
+    keeps each program small (compiling the whole nested tail cycle as one
+    batched program took minutes; per-level bodies compile in seconds)."""
+    n = lev.A.n
+    eye = jnp.eye(n, dtype=lev.dinv.dtype)
+
+    def step(c):
+        x = _smooth(lev, cfg, c, jnp.zeros_like(c), backward=False)
+        r = c - dia_spmv(lev.A, x)
+        rr = dia_spmv(lev.Rt, r)
+        rc = (_compact_full(rr, lev.dims) if lev.cdim == FULL_STEP
+              else _compact(rr, lev.dims, lev.cdim))
+        ec = Meff @ rc
+        e = (_expand_full(ec, lev.dims) if lev.cdim == FULL_STEP
+             else _expand(ec, lev.dims, lev.cdim))
+        x = x + dia_spmv(lev.Pt, e)
+        return _smooth(lev, cfg, c, x, backward=True)
+
+    return jax.vmap(step)(eye).T
+
+
+@jax.jit
+def _dense_op(A: DiaMatrix) -> jax.Array:
+    """Dense matrix of a DIA operator (for the W-cycle coarse revisit)."""
+    eye = jnp.eye(A.n, dtype=jnp.float32)
+    return jax.vmap(lambda c: dia_spmv(A, c))(eye).T
+
+
+def materialize_tail(hier: SHierarchy, max_n: int,
+                     min_start: int = 1) -> SHierarchy:
+    """Fold the coarse tail of the cycle into one dense operator
+    (docs/DESIGN.md §4: 12+ coarse levels of 27-offset rolls are pure
+    latency; the tail cycle is linear, so it IS a matrix).  Picks the first
+    level >= min_start (never the fine level in single-device use) with
+    n <= max_n; everything below it — smoothers, transfers, recursion,
+    coarse solve — collapses into tail_op.  min_start=0 is for the
+    distributed replicated tail, which is already coarse at level 0."""
+    ts = next((i for i in range(min_start, len(hier.levels))
+               if hier.levels[i].A.n <= max_n), None)
+    if ts is None or ts >= len(hier.levels) - 1:
+        return hier  # nothing to fold (coarsest is already one dense matvec)
+    cfg = hier.config
+    M = hier.coarse_inv.astype(jnp.float32)
+    for k in range(len(hier.levels) - 2, ts - 1, -1):
+        if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
+            # the coarse visit happens twice on an updated residual:
+            # ec = M rc + M (rc - A' M rc)  ->  Meff = 2M - M A' M
+            Ad = _dense_op(hier.levels[k + 1].A)
+            Meff = 2.0 * M - M @ Ad @ M
+        else:
+            Meff = M
+        M = _slevel_dense(hier.levels[k], cfg, Meff)
+    tail_op = M
+    if hier.levels[0].A.dtype == jnp.bfloat16:
+        tail_op = tail_op.astype(jnp.bfloat16)  # same storage rule as A/Pt/Rt
+    return dataclasses.replace(hier, tail_op=tail_op, tail_start=ts)
 
 
 def cast_hierarchy(hier: SHierarchy, dtype) -> SHierarchy:
@@ -451,8 +523,10 @@ def cast_hierarchy(hier: SHierarchy, dtype) -> SHierarchy:
         dataclasses.replace(lv, A=cd(lv.A), Pt=cd(lv.Pt), Rt=cd(lv.Rt))
         for lv in hier.levels
     )
+    tail = None if hier.tail_op is None else hier.tail_op.astype(dtype)
     return SHierarchy(levels=levels, coarse_inv=hier.coarse_inv,
-                      config=hier.config)
+                      config=hier.config, tail_op=tail,
+                      tail_start=hier.tail_start)
 
 
 @partial(jax.jit, static_argnames=())
@@ -528,6 +602,10 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
 
 def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
     lev = hier.levels[k]
+    if k == hier.tail_start and hier.tail_op is not None:
+        # dense coarse tail: the materialized sub-cycle in one MXU matvec
+        with jax.named_scope(f"L{k}.dense_tail"):
+            return (hier.tail_op @ b).astype(b.dtype)
     if k == len(hier.levels) - 1:
         with jax.named_scope(f"L{k}.coarse_solve"):
             return hier.coarse_inv @ b
