@@ -182,12 +182,18 @@ def ell_from_csr(
 
 
 def ell_to_csr(A: EllMatrix):
-    """Host-side conversion back to scipy.sparse.csr_matrix (logical shape)."""
+    """Host-side conversion back to scipy.sparse.csr_matrix (logical shape).
+    Device arrays are fetched in ONE batched device_get (separate fetches
+    cost a full round trip each on remote-tunnel backends)."""
     import scipy.sparse as sp
 
-    data = np.asarray(A.data)
-    cols = np.asarray(A.cols)
-    nnz = np.asarray(A.row_nnz)
+    if isinstance(A.data, np.ndarray):
+        data, cols, nnz = A.data, np.asarray(A.cols), np.asarray(A.row_nnz)
+    else:
+        import jax
+
+        data, cols, nnz = map(np.asarray, jax.device_get(
+            (A.data, A.cols, A.row_nnz)))
     n, m = A.shape
     rows_l, vals_l, cols_l = [], [], []
     for k in range(A.K):

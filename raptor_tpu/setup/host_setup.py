@@ -35,8 +35,18 @@ __all__ = ["host_build_tail", "np_strength_mask", "np_pmis_splitting",
 # ---------------------------------------------------------------------------
 
 def _ell_np(A: EllMatrix):
-    """Pull an EllMatrix's arrays to host numpy (one D2H per level)."""
-    return np.asarray(A.data), np.asarray(A.cols), np.asarray(A.row_nnz)
+    """Pull an EllMatrix's arrays to host numpy.  Already-host arrays (the
+    loop's own device=False products) are free; device arrays are fetched
+    in ONE batched device_get — on remote-tunnel backends every separate
+    fetch is a full round trip (measured ~16s each at 32^3 on the axon
+    tunnel; the batched fetch pays one)."""
+    if isinstance(A.data, np.ndarray):
+        return (np.asarray(A.data), np.asarray(A.cols),
+                np.asarray(A.row_nnz))
+    import jax
+
+    d, c, z = jax.device_get((A.data, A.cols, A.row_nnz))
+    return np.asarray(d), np.asarray(c), np.asarray(z)
 
 
 def _pad_K(E: EllMatrix, k: int) -> EllMatrix:
@@ -247,7 +257,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     import jax.numpy as jnp
 
     from raptor_tpu.setup.hierarchy import Hierarchy, Level
-    from raptor_tpu.setup.splitting import make_perm, make_perm_ids
+    from raptor_tpu.setup.splitting import make_perm_ids_np, make_perm_np
 
     ids = None if row_ids is None else np.asarray(row_ids)
 
@@ -259,6 +269,9 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
                 "host setup tail implements direct interpolation only; "
                 "set host_setup_threshold=0 for other interp kinds")
         data, colsA, nnz = _ell_np(A)
+        # rebind to the pulled host arrays: the level tuple below must not
+        # hold device leaves (h() would pull them again, one sync each)
+        A = dataclasses.replace(A, data=data, cols=colsA, row_nnz=nnz)
         n_pad = A.n_rows_pad
         smask = np_strength_mask(data, colsA, nnz, config.theta, config.strength)
         if config.splitting == "rs":
@@ -271,9 +284,8 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
             cf = rs_splitting_host(S).astype(np.int32)
         else:  # pmis (guarded by build_hierarchy)
             seed = config.seed + len(levels) + len(out)
-            perm = np.asarray(
-                make_perm_ids(ids, n_pad, seed) if ids is not None
-                else make_perm(n, n_pad, seed))
+            perm = (make_perm_ids_np(ids, n_pad, seed) if ids is not None
+                    else make_perm_np(n, n_pad, seed))
             cf = np_pmis_splitting(colsA, smask, perm, n_pad)
         Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask, cf)
         if nc == 0 or nc >= n:
@@ -331,18 +343,21 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     inv = np.linalg.inv(dense)
     out.append((A, dinv, None, None, color, lmax, n, ncolors))
 
-    def dev(x):
-        return None if x is None else jnp.asarray(x)
+    # leaves stay host numpy; build_hierarchy.stage_hierarchy uploads the
+    # whole tree in one async batch (a per-array push from here costs a
+    # tunnel round trip each on remote-TPU backends)
+    def h(x):
+        return None if x is None else np.asarray(x)
 
-    def dev_ell(E):
+    def h_ell(E):
         if E is None:
             return None
         return dataclasses.replace(
-            E, data=dev(E.data), cols=dev(E.cols), row_nnz=dev(E.row_nnz))
+            E, data=h(E.data), cols=h(E.cols), row_nnz=h(E.row_nnz))
 
     for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h) in out:
         levels.append(Level(
-            A=dev_ell(Ah), dinv=dev(dinv_h), P=dev_ell(Ph), R=dev_ell(Rh),
-            color=dev(color_h), cheb_lmax=dev(lmax_h), n=n_h, ncolors=ncol_h))
-    return Hierarchy(levels=tuple(levels), coarse_inv=jnp.asarray(inv),
+            A=h_ell(Ah), dinv=h(dinv_h), P=h_ell(Ph), R=h_ell(Rh),
+            color=h(color_h), cheb_lmax=h(lmax_h), n=n_h, ncolors=ncol_h))
+    return Hierarchy(levels=tuple(levels), coarse_inv=np.asarray(inv),
                      config=config)

@@ -56,13 +56,31 @@ def splitting_weights(lam: jax.Array, perm: jax.Array, n_pad: int) -> jax.Array:
             + perm.astype(jnp.int64))
 
 
-def make_perm(n: int, n_pad: int, seed: int = 0) -> jax.Array:
-    """Random permutation tie-break weights; padding rows get the tail values
-    (they are isolated and forced F regardless)."""
+def make_perm_np(n: int, n_pad: int, seed: int = 0) -> np.ndarray:
+    """Host-numpy variant of make_perm (the host setup tail consumes numpy
+    directly — converting through a device array costs a full tunnel round
+    trip per level on remote-TPU backends)."""
     perm = np.empty(n_pad, dtype=np.int32)
     perm[:n] = np.random.default_rng(seed).permutation(n)
     perm[n:] = np.arange(n, n_pad)
-    return jnp.asarray(perm)
+    return perm
+
+
+def make_perm(n: int, n_pad: int, seed: int = 0) -> jax.Array:
+    """Random permutation tie-break weights; padding rows get the tail values
+    (they are isolated and forced F regardless)."""
+    return jnp.asarray(make_perm_np(n, n_pad, seed))
+
+
+def make_perm_ids_np(ids: np.ndarray, n_pad: int, seed: int = 0) -> np.ndarray:
+    """Host-numpy variant of make_perm_ids (see make_perm_np)."""
+    n = ids.shape[0]
+    base = np.random.default_rng(seed).permutation(n).astype(np.int32)
+    rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
+    perm = np.empty(n_pad, dtype=np.int32)
+    perm[:n] = base[rank]
+    perm[n:] = np.arange(n, n_pad)
+    return perm
 
 
 def make_perm_ids(ids: np.ndarray, n_pad: int, seed: int = 0) -> jax.Array:
@@ -72,13 +90,7 @@ def make_perm_ids(ids: np.ndarray, n_pad: int, seed: int = 0) -> jax.Array:
     permuted positions).  ``ids[i]`` is row i's rank-able original identity;
     the PMIS/CLJP outcome is then the same C/F SET regardless of the
     ordering the hierarchy is built in."""
-    n = ids.shape[0]
-    base = np.random.default_rng(seed).permutation(n).astype(np.int32)
-    rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
-    perm = np.empty(n_pad, dtype=np.int32)
-    perm[:n] = base[rank]
-    perm[n:] = np.arange(n, n_pad)
-    return jnp.asarray(perm)
+    return jnp.asarray(make_perm_ids_np(ids, n_pad, seed))
 
 
 @jax.jit
