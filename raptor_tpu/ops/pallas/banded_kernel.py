@@ -123,9 +123,10 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
-                                   "interpret"))
+                                   "interpret", "vma"))
 def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
-                 npage: int, interpret: bool = False):
+                 npage: int, interpret: bool = False,
+                 vma: tuple | None = None):
     R_rows = tile // LANE
     T = n // tile
     nref = 2 * kh + 1
@@ -170,7 +171,10 @@ def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
         in_specs=x_specs + [meta, meta, meta],
         out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
+        # vma: inside shard_map with check_vma, the output varies over the
+        # mesh axes the sharded inputs vary over (parallel.dist)
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype,
+                                       vma=frozenset(vma) if vma else None),
         interpret=interpret,
     )(*([x2] * nref), vals, page, idx)
     return out.reshape(-1)
@@ -191,17 +195,25 @@ def banded_spmv_pallas(plan: dict, x, interpret: bool = False):
 def banded_spmv_ref(plan: dict, x):
     """Reference implementation of the same plan (plain jnp gathers) for
     correctness tests on any backend."""
+    pad = plan["kh"] * plan["tile"]
+    x_pad = jnp.concatenate([jnp.zeros(pad, x.dtype), x,
+                             jnp.zeros(pad, x.dtype)])
+    return banded_ref_padded(plan, x_pad)
+
+
+def banded_ref_padded(plan: dict, x_pad):
+    """Reference path on an externally padded vector: ``x_pad`` is
+    [left pad | x | right pad] with kh*tile values each side — zeros on a
+    single device, neighbor halos in the distributed SpMV
+    (parallel.dist.dist_banded_spmv)."""
     n, tile = plan["n"], plan["tile"]
     kh = plan["kh"]
     R_rows = tile // LANE
     npage = plan["npage"]
     Wp_pages = (npage - tile // PAGE) // 2
     p0 = kh * (tile // PAGE) - Wp_pages
-    pad = kh * tile
-    x_pad = jnp.concatenate([jnp.zeros(pad, x.dtype), x,
-                             jnp.zeros(pad, x.dtype)])
     T = n // tile
-    y = jnp.zeros((T, R_rows, LANE), x.dtype)
+    y = jnp.zeros((T, R_rows, LANE), x_pad.dtype)
     for t in range(T):
         wstart = t * tile + p0 * PAGE
         win = x_pad[wstart: wstart + npage * PAGE]
