@@ -62,8 +62,8 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-    from raptor_tpu.core.ell import ell_from_csr, ell_to_csr
-    from raptor_tpu.core.hybrid import banded_from_csr
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.core.hybrid import banded_from_ell
 
     assert not isinstance(A, EllMatrix), "fine_layout='banded' takes scipy input"
     a = sp.csr_matrix(A)
@@ -89,8 +89,7 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     levels = []
     for lev in hier.levels:
         if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
-            B = banded_from_csr(ell_to_csr(lev.A), dtype=np.dtype(lev.A.dtype),
-                                reorder=False)
+            B = banded_from_ell(lev.A)
             if B is not None and B.n_pad == lev.A.n_rows_pad:
                 lev = dataclasses.replace(lev, Aband=B)
                 # transfer operators follow the same grid-proportional band

@@ -60,8 +60,11 @@ class AmgConfig:
     # in vectorized host NumPy (setup/host_setup.py — same algorithms, same
     # integer PMIS weights, bit-identical splittings) instead of paying
     # device compile + sync latency per shrinking level; 0 forces every
-    # level onto the device (full end-to-end-under-jit setup)
-    host_setup_threshold: int = 65536
+    # level onto the device (full end-to-end-under-jit setup).  256k default:
+    # through a remote-TPU tunnel each device level costs compiles + 3-4
+    # round trips (~30s measured at n=110k) vs ~5s of vectorized numpy;
+    # device levels win again when n is large enough to amortize that.
+    host_setup_threshold: int = 262144
     # operator layout for the solve path ('ell' | 'banded'):
     # 'banded' RCM-reorders the input and re-lays each large level as a
     # BandedMatrix (core/hybrid.py) — the paged dynamic-gather Pallas

@@ -90,8 +90,11 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     K, n = cols.shape
     assert tile % PAGE == 0, tile
     assert n % tile == 0, (n, tile)
-    rows = np.arange(n)
-    mask = np.arange(K)[:, None] < nnz[None, :]
+    # int32 throughout: this pass runs per level at setup time; int64
+    # temporaries doubled its memory traffic (cols is int32 by layout)
+    rows = np.arange(n, dtype=np.int32)
+    cols = cols.astype(np.int32, copy=False)
+    mask = np.arange(K, dtype=np.int32)[:, None] < nnz[None, :]
     delta = np.where(mask, cols - rows[None, :], 0)
     W = int(np.abs(delta).max()) if mask.any() else 1
     Wp = _round_up(max(W, 1), PAGE)  # page-aligned halo
@@ -100,19 +103,19 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     _check_plan_bounds(kh, npage, K, tile, np.dtype(vals.dtype).itemsize,
                        "banded_plan")
 
-    t = rows // tile
-    f = np.where(mask, cols + Wp - (t * tile)[None, :], 0)  # window offset
+    tbase = (rows // tile) * tile
+    f = np.where(mask, cols + np.int32(Wp) - tbase[None, :], 0)  # window off
     page = f // PAGE
-    idx = f % PAGE  # sub*128 + lane within the page
+    idx = f - page * PAGE  # sub*128 + lane within the page
     v = np.where(mask, vals, 0)
 
     T = n // tile
     R_rows = tile // LANE
 
     def blk(a, dtype):
-        return np.ascontiguousarray(
-            a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3)
-        ).astype(dtype)
+        # transpose + astype in one contiguous copy
+        return a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3).astype(
+            dtype, order="C")
 
     return dict(
         page=jnp.asarray(blk(page, np.int32)),
@@ -246,13 +249,14 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     assert tile % PAGE == 0 and n % tile == 0, (n, tile)
     assert n_cols_pad % PAGE == 0, n_cols_pad
     T = n // tile
-    rows = np.arange(n)
+    rows = np.arange(n, dtype=np.int64)
+    cols = cols.astype(np.int64, copy=False)
     t = rows // tile
-    mask = np.arange(K)[:, None] < nnz[None, :]
+    mask = np.arange(K, dtype=np.int32)[:, None] < nnz[None, :]
     # per-tile window center: whole pages, monotone in t; integer floor
     # arithmetic IDENTICAL to the kernel's index map
     # ((t*nc)//T)//PAGE == (t*nc)//(T*PAGE) for non-negative ints
-    center = ((t.astype(np.int64) * n_cols_pad) // (T * PAGE)) * PAGE
+    center = ((t * n_cols_pad) // (T * PAGE)) * PAGE
     delta = np.where(mask, cols - center[None, :], 0)
     lo_d = int(delta.min()) if mask.any() else 0
     hi_d = int(delta.max()) if mask.any() else 1
@@ -263,19 +267,18 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     _check_plan_bounds(0, npage, K, tile, np.dtype(vals.dtype).itemsize,
                        "banded_plan_rect")
 
-    win_start = center - WpP * PAGE
-    f = np.where(mask, cols - win_start[None, :], 0)
+    f = np.where(mask, delta + np.int64(WpP * PAGE), 0).astype(np.int32)
     assert (f[mask] >= 0).all() and (f[mask] < npage * PAGE).all()
     page = f // PAGE
-    idx = f % PAGE
+    idx = f - page * PAGE
     v = np.where(mask, vals, 0)
 
     R_rows = tile // LANE
 
     def blk(a, dtype):
-        return np.ascontiguousarray(
-            a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3)
-        ).astype(dtype)
+        # transpose + astype in one contiguous copy
+        return a.reshape(K, T, R_rows, LANE).transpose(1, 0, 2, 3).astype(
+            dtype, order="C")
 
     return dict(
         page=jnp.asarray(blk(page, np.int32)),

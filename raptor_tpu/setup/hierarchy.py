@@ -221,7 +221,10 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
         A, perm, theta=config.theta, strength_kind=config.strength,
         splitting=config.splitting, interp=config.interp,
         want_lmax=want_lmax)
-    nc, w_T, w_AP = (int(v) for v in np.asarray(scal))  # sync 1
+    # sync 1 — cf rides the same round trip (build_hierarchy filters its
+    # row-id array by it; a separate pull costs a full tunnel round trip)
+    scal, cf = jax.device_get((scal, cf))
+    nc, w_T, w_AP = (int(v) for v in np.asarray(scal))
     if nc == 0 or nc >= n:
         return None, None, None, nc, dinv, (lmax if want_lmax else None), cf
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
@@ -312,7 +315,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             if ids is not None:
                 from raptor_tpu.setup.splitting import C_PT
 
-                ids = ids[np.asarray(cf)[:n] == C_PT]
+                ids = ids[np.asarray(cf)[:n] == C_PT]  # cf already host
             color, ncolors = _mcgs_color(A, config)
             levels.append(
                 Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
