@@ -255,6 +255,18 @@ def main():
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
+    if jax.default_backend() != "cpu":
+        # persistent compile cache for TPU runs: remote compiles dominate
+        # every cold measurement (63s structured 128^3, 265s banded 48^3
+        # refined solve); repeat bench runs on the same machine then start
+        # warm.  CPU stays off — XLA:CPU executable deserialization has
+        # segfaulted under this jax pin (tests/conftest.py).
+        import pathlib
+
+        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     on_tpu = dev.platform not in ("cpu",)
     size = args.size or (128 if on_tpu else 32)
     log(f"device={dev} platform={dev.platform} size={size}^3")
@@ -434,7 +446,10 @@ def main():
                 [_sys.executable, __file__, "--size", "256",
                  "--measure-only", "--tol", str(args.tol),
                  "--coarse-size", str(args.coarse_size)],
-                capture_output=True, text=True, timeout=1500,
+                # 45 min ceiling: the cold 256^3 refined-solve compile alone
+                # runs tens of minutes through the remote-TPU tunnel; with
+                # the persistent .jax_cache_tpu warm it's a few minutes
+                capture_output=True, text=True, timeout=2700,
             )
             if p.returncode != 0:
                 raise RuntimeError(

@@ -16,7 +16,6 @@ import numpy as np
 
 from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
 from raptor_tpu.core.ell import EllMatrix, pad_rows, pad_vector
-from raptor_tpu.ops.sparse_ops import spmv
 from raptor_tpu.setup.hierarchy import Hierarchy, build_hierarchy, hierarchy_stats
 from raptor_tpu.solve.cycle import cycle
 from raptor_tpu.solve.krylov import bicgstab, pcg
@@ -129,12 +128,17 @@ def solve_hier_refined(
     no fp64 (the algebraic-engine counterpart of
     structured_solve_refined).  Returns ((x_hi, x_lo), true_relres, iters).
     """
+    from raptor_tpu.solve.cycle import apply_op
     from raptor_tpu.utils.df64 import df_add, df_from, two_prod
 
     A = hier.levels[0].A
+    lev0 = hier.levels[0]
 
     def apply_A(v):
-        return spmv(A, v)
+        # fast-layout route (banded/block kernels) — the PCG operator apply
+        # runs every iteration; only the once-per-outer compensated residual
+        # below needs the entrywise gather form (two_prod per entry)
+        return apply_op(lev0, v)
 
     def apply_M(r):
         return cycle(hier, r)
