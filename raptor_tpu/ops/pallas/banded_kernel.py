@@ -289,14 +289,19 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=("K", "n", "n_cols", "tile", "WpP",
-                                   "npage", "interpret"))
+                                   "npage", "interpret", "map_cols", "vma"))
 def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
                       tile: int, WpP: int, npage: int,
-                      interpret: bool = False):
+                      interpret: bool = False, map_cols: int | None = None,
+                      vma: tuple | None = None):
+    """``map_cols`` (default n_cols): numerator of the window index map —
+    the distributed wrapper passes the LOCAL plan ratio while ``x`` is the
+    halo-extended local buffer (parallel.dist.dist_rect_banded_spmv), with
+    WpP folded into the buffer offset (passed as 0)."""
     R_rows = tile // LANE
     T = n // tile
-    total_pages = n_cols // PAGE
-    x2 = x.reshape(total_pages * SUB, LANE)
+    total_pages = x.shape[0] // PAGE  # buffer size; n_cols == len(x) when
+    x2 = x.reshape(total_pages * SUB, LANE)  # not distributed
 
     def kernel(*refs):
         x_refs = refs[:npage]  # one page (SUB, LANE) each
@@ -320,7 +325,8 @@ def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
 
     # window page p of tile t = clamp((t*tile_c)//PAGE - WpP + p); the
     # division is done in the index map (traced integer arithmetic)
-    tc_num, tc_den = n_cols, T  # tile_c = tc_num / tc_den
+    tc_num = n_cols if map_cols is None else map_cols
+    tc_den = T  # tile_c = tc_num / tc_den
 
     def page_index(t, p):
         base = (t * tc_num) // (tc_den * PAGE) - WpP
@@ -339,10 +345,29 @@ def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
         in_specs=x_specs + [meta, meta, meta],
         out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x.dtype,
+                                       vma=frozenset(vma) if vma else None),
         interpret=interpret,
     )(*([x2] * npage), vals, page, idx)
     return out.reshape(-1)
+
+
+def banded_rect_ref_buf(plan: dict, x_buf, map_cols: int):
+    """Plain-jnp reference of the rectangular plan against a halo-extended
+    local buffer (the distributed form: WpP folded into the buffer offset,
+    window base = (t*map_cols)//(T*PAGE), clamped to the buffer)."""
+    n, tile = plan["n"], plan["tile"]
+    T = n // tile
+    R_rows = tile // LANE
+    total_pages = x_buf.shape[0] // PAGE
+    y = jnp.zeros((T, R_rows, LANE), x_buf.dtype)
+    for t in range(T):
+        base = (t * map_cols) // (T * PAGE)
+        pages = np.clip(np.arange(plan["npage"]) + base, 0, total_pages - 1)
+        win = x_buf.reshape(total_pages, PAGE)[pages].reshape(-1)
+        f = plan["page"][t] * PAGE + plan["idx"][t]
+        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[f], axis=0))
+    return y.reshape(-1)
 
 
 def banded_spmv_rect_pallas(plan: dict, x, interpret: bool = False):

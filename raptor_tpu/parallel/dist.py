@@ -42,6 +42,7 @@ __all__ = [
     "DistLevel",
     "DistHierarchy",
     "dist_banded_spmv",
+    "dist_rect_banded_spmv",
     "distribute_hierarchy",
     "dist_solve",
     "make_solve_mesh",
@@ -52,7 +53,8 @@ AXIS = "x"
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["A", "Pmat", "Rmat", "dinv", "color", "cheb_lmax", "Aband"],
+    data_fields=["A", "Pmat", "Rmat", "dinv", "color", "cheb_lmax", "Aband",
+                 "Pband", "Rband"],
     meta_fields=["n_local", "ncolors", "n"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +74,11 @@ class DistLevel:
     # kh*tile ppermute halo instead of the scalar gather ELL
     # (VERDICT r2 missing #3: Pallas on the algebraic sharded solve path)
     Aband: Optional[object] = None
+    # rectangular banded transfers (core.hybrid.RectBanded): same tile
+    # sharding for P (coarse->fine) and R (fine->coarse) when both levels
+    # are sharded — the proportional window means one-neighbor page halos
+    Pband: Optional[object] = None
+    Rband: Optional[object] = None
 
 
 @partial(
@@ -128,6 +135,17 @@ def _band_spec(B):
     )
 
 
+def _rect_spec(B):
+    if B is None:
+        return None
+    from raptor_tpu.core.hybrid import RectBanded
+
+    return RectBanded(
+        vals=P(AXIS, None, None, None), page=P(AXIS, None, None, None),
+        idx=P(AXIS, None, None, None), meta=B.meta, shape=B.shape,
+    )
+
+
 def _lvl_spec(lv: DistLevel) -> DistLevel:
     return DistLevel(
         A=_dm_spec(lv.A),
@@ -140,6 +158,8 @@ def _lvl_spec(lv: DistLevel) -> DistLevel:
         ncolors=lv.ncolors,
         n=lv.n,
         Aband=_band_spec(lv.Aband),
+        Pband=_rect_spec(lv.Pband),
+        Rband=_rect_spec(lv.Rband),
     )
 
 
@@ -176,11 +196,19 @@ def distribute_hierarchy(
     for k in range(t):
         lev = hier.levels[k]
         A_d = distribute_matrix(lev.A, ndev)
+        Pb = Rb = None
         if k + 1 < t:
-            nlc = hier.levels[k + 1].A.n_rows_pad // ndev
-            nlf = lev.A.n_rows_pad // ndev
+            nc_pad = hier.levels[k + 1].A.n_rows_pad
+            nf_pad = lev.A.n_rows_pad
+            nlc = nc_pad // ndev
+            nlf = nf_pad // ndev
             R_d = distribute_matrix(lev.R, ndev, n_col_owned=nlf)
             P_d = distribute_matrix(lev.P, ndev, n_col_owned=nlc)
+            # rect-banded transfers when both level vectors shard evenly
+            Rb = _shardable_rect(getattr(lev, "Rband", None), ndev,
+                                 nc_pad, nf_pad)
+            Pb = _shardable_rect(getattr(lev, "Pband", None), ndev,
+                                 nf_pad, nc_pad)
         else:
             R_d = P_d = None
         dlevels.append(
@@ -190,6 +218,7 @@ def distribute_hierarchy(
                 n_local=lev.A.n_rows_pad // ndev,
                 ncolors=lev.ncolors, n=lev.n,
                 Aband=_shardable_band(lev.Aband, ndev),
+                Pband=Pb, Rband=Rb,
             )
         )
     bridge = hier.levels[t - 1]
@@ -221,6 +250,29 @@ def _shardable_band(B, ndev: int):
     if T % ndev == 0 and T // ndev >= kh:
         return B
     return None
+
+
+def _shardable_rect(B, ndev: int, n_rows_pad: int, n_cols_pad: int):
+    """The level's RectBanded transfer, if both its row tiles and its
+    column space split evenly over the mesh and the proportional window's
+    page halos fit inside one neighbor block.  Requires the plan's spaces
+    to coincide exactly with the sharded vectors' padded sizes."""
+    if B is None:
+        return None
+    from raptor_tpu.ops.pallas.banded_kernel import PAGE
+
+    K, n, n_cols, tile, WpP, npage = B.meta
+    T = n // tile
+    if n != n_rows_pad or n_cols != n_cols_pad:
+        return None
+    if T % ndev or n_cols % (ndev * PAGE):
+        return None
+    p_loc = n_cols // ndev // PAGE
+    # ring halos may span several neighbors (_ring_halo) but not the whole
+    # ring (beyond that the window wraps into this shard's own block)
+    if max(WpP, npage - WpP) > (ndev - 1) * p_loc:
+        return None
+    return B
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +320,71 @@ def dist_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
     plan = dict(vals=B.vals, page=B.page, idx=B.idx, K=K, n=n_loc,
                 tile=tile, kh=kh, npage=npage, Wp=Wp)
     return banded_ref_padded(plan, x_pad)
+
+
+def _ring_halo(x_own: jax.Array, h: int, axis: str, ndev: int,
+               left: bool) -> jax.Array:
+    """The h elements of the global vector adjacent to this shard's block
+    (on its left or right), assembled from as many ring neighbors as the
+    span covers: hop j ppermutes a slice of every shard's block j positions
+    around the ring; blocks wrap at the global edges (wrapped values are
+    only ever read by zero-value plan slots, like the zero pad they
+    replace)."""
+    block = x_own.shape[0]
+    q = -(-h // block)  # neighbors touched
+    parts = []
+    for j in range(q, 0, -1):
+        take = h - (j - 1) * block  # partial for the farthest hop
+        take = min(take, block)
+        src = x_own[-take:] if left else x_own[:take]
+        shift = j if left else -j
+        buf = jax.lax.ppermute(
+            src, axis, [(i, (i + shift) % ndev) for i in range(ndev)])
+        parts.append(buf)
+    if not left:
+        parts.reverse()  # farthest hop goes last on the right side
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def dist_rect_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
+                          interpret: bool | None = None) -> jax.Array:
+    """Sharded transfer apply (P or R) through the rectangular banded
+    kernel; inside shard_map.  The window base is proportional (tile t of T
+    reads around t*n_cols/T), so with the column space sharded in equal
+    page-aligned blocks each shard needs WpP pages from its left neighbor
+    and npage-WpP from its right; WpP folds into the buffer offset, so the
+    local call uses WpP=0 with the LOCAL ratio as the index map
+    (banded_kernel._banded_call_rect map_cols).  Wrap halos at the global
+    edges are read only by zero-value slots, like the clamp they replace."""
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        PAGE,
+        _banded_call_rect,
+        banded_rect_ref_buf,
+    )
+
+    if interpret is None:
+        interpret = BANDED_INTERPRET
+    K, _, _, tile, WpP, npage = B.meta
+    ndev = jax.lax.axis_size(axis)
+    n_loc = B.vals.shape[0] * tile
+    cols_loc = x_own.shape[0]
+    lh = WpP * PAGE
+    rh = (npage - WpP) * PAGE
+    parts = [x_own]
+    if lh:
+        parts.insert(0, _ring_halo(x_own, lh, axis, ndev, left=True))
+    if rh:
+        parts.append(_ring_halo(x_own, rh, axis, ndev, left=False))
+    x_buf = jnp.concatenate(parts) if len(parts) > 1 else x_own
+    use_kernel = bool(interpret) or jax.default_backend() == "tpu"
+    if use_kernel:
+        return _banded_call_rect(
+            B.vals, B.page, B.idx, x_buf, K=K, n=n_loc,
+            n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage,
+            interpret=bool(interpret), map_cols=cols_loc, vma=(axis,))
+    plan = dict(vals=B.vals, page=B.page, idx=B.idx, K=K, n=n_loc,
+                n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage)
+    return banded_rect_ref_buf(plan, x_buf, map_cols=cols_loc)
 
 
 # ---------------------------------------------------------------------------
@@ -362,14 +479,18 @@ def _dist_level_solve(dh: DistHierarchy, k: int, b, ctx: CommCtx):
     x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False, sp=spA)
     r = b - spA(x)
     if k + 1 < len(dh.levels):
-        rc = ctx.sp(("R", k), lev.Rmat, r)
+        banded_txf = lev.Rband is not None and isinstance(ctx.axes, str)
+        rc = (dist_rect_banded_spmv(lev.Rband, r, ctx.axes) if banded_txf
+              else ctx.sp(("R", k), lev.Rmat, r))
         ec = _dist_level_solve(dh, k + 1, rc, ctx)
         if cfg.cycle == "W":
             # second coarse visit (gamma=2); a sharded level always has the
             # tail below it, so the single-device k+1 < nlev-1 guard holds
             rc2 = rc - _apply_dist_A(dh, k + 1, ec, ctx)
             ec = ec + _dist_level_solve(dh, k + 1, rc2, ctx)
-        x = x + ctx.sp(("P", k), lev.Pmat, ec)
+        x = x + (dist_rect_banded_spmv(lev.Pband, ec, ctx.axes)
+                 if banded_txf and lev.Pband is not None
+                 else ctx.sp(("P", k), lev.Pmat, ec))
     else:
         # bridge to the replicated (agglomerated) tail
         r_glob = jax.lax.all_gather(r, ctx.axes, tiled=True)

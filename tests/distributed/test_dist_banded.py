@@ -34,6 +34,15 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _drop_programs():
+    """This module's tests each compile large sharded solve programs;
+    XLA:CPU aborts once a process accumulates too many executables
+    (tests/conftest.py bounds this per-module — not enough here)."""
+    yield
+    jax.clear_caches()
+
+
 def _shuffled_poisson(nx: int, seed: int = 0):
     import scipy.sparse as sp
 
@@ -89,6 +98,70 @@ def test_unshardable_band_filtered():
     B = banded_from_csr(A, dtype=np.float64)
     assert B is not None
     assert _shardable_band(B, NDEV) is None
+
+
+@pytest.mark.parametrize("interpret", [None, True])
+def test_dist_rect_banded_transfer_matches_single(interpret):
+    """Sharded rect-banded transfer apply == the single-device rect plan
+    (P and R of a banded hierarchy, both directions of the proportional
+    window), via ref path and via the interpreted Pallas kernel."""
+    from jax.sharding import PartitionSpec as Spec
+
+    from raptor_tpu.ops.pallas.banded_kernel import banded_spmv_rect_ref
+    from raptor_tpu.parallel.dist import (
+        _rect_spec,
+        _shardable_rect,
+        dist_rect_banded_spmv,
+    )
+
+    A = _shuffled_poisson(20)
+    cfg = AmgConfig(splitting="pmis", interp="direct", smoother="jacobi",
+                    fine_layout="banded", pad_multiple=8 * 1024,
+                    coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    lev = hier.levels[0]
+    assert lev.Pband is not None and lev.Rband is not None
+    nf, nc = lev.A.n_rows_pad, hier.levels[1].A.n_rows_pad
+    Rb = _shardable_rect(lev.Rband, NDEV, nc, nf)
+    Pb = _shardable_rect(lev.Pband, NDEV, nf, nc)
+    assert Rb is not None and Pb is not None
+
+    mesh = make_solve_mesh(NDEV)
+    rng = np.random.default_rng(3)
+    for B, m in ((Rb, nf), (Pb, nc)):
+        x = jnp.asarray(rng.standard_normal(m))
+        y_ref = np.asarray(banded_spmv_rect_ref(B.plan(), x))
+        y = np.asarray(jax.jit(jax.shard_map(
+            lambda B, x: dist_rect_banded_spmv(B, x, interpret=interpret),
+            mesh=mesh, in_specs=(_rect_spec(B), Spec("x")),
+            out_specs=Spec("x"), check_vma=not interpret,
+        ))(B, x))
+        assert np.allclose(y, y_ref, rtol=1e-13, atol=1e-13)
+
+
+def test_dist_banded_solve_with_banded_transfers():
+    """End-to-end sharded solve with operator AND transfers on the banded
+    kernels matches the single-device solve."""
+    A = _shuffled_poisson(20)
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", interp="direct", smoother="jacobi",
+                    fine_layout="banded", pad_multiple=8 * 1024,
+                    coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+    x_ref, info_ref = solve_hier(hier, bd, tol=1e-8, maxiter=100,
+                                 krylov="cg")
+
+    dh = distribute_hierarchy(hier, NDEV)
+    assert dh.levels[0].Aband is not None
+    if len(dh.levels) > 1:
+        assert dh.levels[0].Rband is not None
+    mesh = make_solve_mesh(NDEV)
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert float(info.relres) <= 1e-8
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
 
 
 def test_dist_banded_solve_matches_single_device():

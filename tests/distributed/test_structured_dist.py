@@ -102,9 +102,12 @@ def test_sdist_cheb4():
 @pytest.mark.parametrize("smoother,cycle", [("chebyshev", "V"),
                                             ("mcgs", "W")])
 def test_sdist_feature_matrix_matches_single(smoother, cycle):
-    """chebyshev + W-cycle sharded == unsharded (VERDICT r1 weak #5)."""
+    """chebyshev + W-cycle sharded == unsharded (VERDICT r1 weak #5).
+    Small box: the W-cycle's doubled visits make the sharded program size
+    exponential in depth — 16^3 cost 349s of XLA:CPU compile for the same
+    coverage."""
     st = stencil_7pt()
-    dims = (16, 16, 16)
+    dims = (32, 8, 8)  # two sharded levels, ~1/2 the 16^3 program size
     A = dia_from_stencil(st, dims, dtype=np.float64)
     cfg = AmgConfig(smoother=smoother, cycle=cycle, coarse_size=32,
                     max_levels=30)

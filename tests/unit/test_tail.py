@@ -65,7 +65,7 @@ def test_structured_tail_matches_recursion():
                                               scycle)
 
     st = stencil_7pt()
-    A = dia_from_stencil(st, (16, 16, 16), dtype=np.float32)
+    A = dia_from_stencil(st, (12, 12, 12), dtype=np.float32)
     cfg = AmgConfig(smoother="mcgs")
     h1 = build_structured_hierarchy(A, cfg)
     h0 = build_structured_hierarchy(
@@ -88,7 +88,7 @@ def test_structured_tail_bf16_storage_follows_operators():
     from raptor_tpu.structured.solver import build_structured_hierarchy
 
     st = stencil_7pt()
-    A = dia_from_stencil(st, (16, 16, 16), dtype=np.float32)
+    A = dia_from_stencil(st, (8, 8, 8), dtype=np.float32)
     h = build_structured_hierarchy(
         A, AmgConfig(smoother="mcgs", operator_store_dtype="bfloat16"))
     assert h.tail_op is not None and h.tail_op.dtype == jnp.bfloat16
