@@ -25,12 +25,17 @@ __all__ = ["setup", "solve", "solve_hier", "AmgConfig", "SolveConfig", "PRESETS"
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64}
 
 
-def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hierarchy:
-    """Build the AMG hierarchy (host-driven level loop, on-device level work)."""
+def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
+          B=None) -> Hierarchy:
+    """Build the AMG hierarchy (host-driven level loop, on-device level work).
+
+    ``B``: optional (n, nc) near-nullspace candidates for smoothed
+    aggregation (rigid body modes for elasticity, BASELINE.json:10);
+    ignored by the classical paths."""
     if config.splitting in ("aggregation",) or config.interp == "smoothed":
         from raptor_tpu.setup.aggregation import build_sa_hierarchy
 
-        hier = build_sa_hierarchy(A, config, dtype=dtype)
+        hier = build_sa_hierarchy(A, config, dtype=dtype, B=B)
     elif config.fine_layout == "banded":
         hier = _setup_banded(A, config, dtype)
     else:
@@ -39,6 +44,10 @@ def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32) -> Hierarchy:
         from raptor_tpu.solve.cycle import materialize_tail
 
         hier = materialize_tail(hier, config.tail_max_n)
+    if not isinstance(A, EllMatrix) and np.dtype(dtype) == np.float32:
+        from raptor_tpu.setup.hierarchy import attach_residual_lo
+
+        hier = attach_residual_lo(hier, A)
     return hier
 
 
@@ -119,7 +128,7 @@ def solve_hier_refined(
     b: jax.Array,
     tol: float = 1e-8,
     maxiter: int = 100,
-    outer: int = 3,
+    outer: int = 8,
     b_lo: jax.Array | None = None,
 ):
     """Solve to a TRUE <=tol relative residual entirely on device: fp32
@@ -143,6 +152,8 @@ def solve_hier_refined(
     def apply_M(r):
         return cycle(hier, r)
 
+    lo = hier.a0_lo
+
     def residual(xh, xl, bh, bl):
         rh, rl = bh, bl
         for k in range(A.K):
@@ -150,6 +161,10 @@ def solve_hier_refined(
             gl = jnp.take(xl, A.cols[k], axis=0)
             ph, pe = two_prod(A.data[k], gh)
             pe = pe + A.data[k] * gl
+            if lo is not None:
+                # a0_lo * x_hi: certify against the UNROUNDED operator
+                # (lo*lo and lo*x_lo are below df64 resolution)
+                pe = pe + lo[k] * gh
             rh, rl = df_add(rh, rl, -ph, -pe)
         return rh, rl
 

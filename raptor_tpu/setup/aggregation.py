@@ -211,7 +211,11 @@ def aggregate(C: EllMatrix, smask, seed: int):
     agg = jnp.where(root_like, agg_id, -1)
 
     w = jnp.minimum(jnp.sum(smask, axis=0), 63) * nn + perm  # assignment pref
-    agg = _assign_rounds(G, smask, agg, w)
+    # G's slots are the COMPACTED strength entries — gate on G's own slot
+    # mask, not the C-layout smask (slot misalignment dropped strong
+    # neighbors into the weak straggler pass; the diag slot self-joins are
+    # inert because only agg<0 nodes update and their own agg is -1)
+    agg = _assign_rounds(G, G.slot_mask(), agg, w)
     # straggler pass: join the smallest adjacent aggregate (full pattern)
     agg = jnp.where(is_real, _join_smallest(C, agg), agg)
 
@@ -351,11 +355,23 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         # allow gallery tuples (A, B[, coords])
         A, B = A[0], A[1]
     n_in = A.shape[0]
+    if (not isinstance(A, EllMatrix)
+            and 0 < n_in <= config.host_setup_threshold):
+        # small problems are compile-latency-bound on device (per-shape jit
+        # programs + ~6 host syncs per level — ~6 min at n=23k through the
+        # remote-TPU tunnel); the identical pipeline runs in vectorized
+        # NumPy in seconds (the SA counterpart of setup/host_setup.py)
+        from raptor_tpu.setup.hierarchy import attach_residual_lo
+        from raptor_tpu.setup.host_aggregation import host_build_sa_hierarchy
+
+        return attach_residual_lo(
+            host_build_sa_hierarchy(A, config, dtype=dtype, B=B), A)
     if B is None:
         B = np.ones((n_in, 1), dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)[:, : config.num_candidates]
     nc = B.shape[1]
     bs = 3 if (nc >= 3 and n_in % 3 == 0) else 1
+    A_in = None if isinstance(A, EllMatrix) else A
     if not isinstance(A, EllMatrix):
         # padded size must divide by both pad_multiple and the block size
         mult = config.pad_multiple * bs // np.gcd(config.pad_multiple, bs)
@@ -407,4 +423,9 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
               binv=binv)
     )
     inv = _dense_inverse(A)
-    return Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
+    hier = Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
+    if A_in is not None:
+        from raptor_tpu.setup.hierarchy import attach_residual_lo
+
+        hier = attach_residual_lo(hier, A_in)
+    return hier

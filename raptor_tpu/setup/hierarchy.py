@@ -85,7 +85,7 @@ class Level:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv", "perm", "iperm", "tail_op"],
+    data_fields=["levels", "coarse_inv", "perm", "iperm", "tail_op", "a0_lo"],
     meta_fields=["config", "tail_start"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +103,13 @@ class Hierarchy:
     # replaces the latency-bound tiny-level SpMV chain below it
     tail_op: Optional[jax.Array] = None
     tail_start: int = -1
+    # fp32 truncation remainder of the LEVEL-0 operator data in the exact
+    # ELL slot layout of levels[0].A: operators whose fp64 entries are not
+    # fp32-representable (elasticity stiffness ~1e5) otherwise cap the
+    # certifiable true residual at ~kappa * 6e-8 — solve_hier_refined's
+    # compensated residual adds the a0_lo * x_hi cross term so refinement
+    # certifies against the UNROUNDED operator (api._attach_residual_lo)
+    a0_lo: Optional[jax.Array] = None
 
     @property
     def num_levels(self) -> int:
@@ -245,6 +252,42 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     else:
         Ac = Ac_wide
     return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf
+
+
+def attach_residual_lo(hier: Hierarchy, A_sp) -> Hierarchy:
+    """Attach Hierarchy.a0_lo: the fp32 truncation remainder of the level-0
+    operator, laid out in exactly levels[0].A's ELL slots (same csr, same
+    conversion routine, fp64 data).  Zero for fp32-representable operators
+    (grid stencils); for FE-assembled systems it is what lets the on-device
+    refinement certify a true 1e-8 residual instead of stalling at
+    ~kappa * 6e-8 (the fp32 rounding of ~1e5-magnitude stiffness entries)."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.ell import ell_from_csr
+
+    if hier.a0_lo is not None:
+        return hier
+    E = hier.levels[0].A
+    if np.dtype(E.dtype) != np.float32:
+        return hier
+    a = sp.csr_matrix(A_sp).astype(np.float64)
+    if hier.perm is not None:
+        p = np.asarray(hier.perm)[: a.shape[0]]
+        a = a[p][:, p].tocsr()
+    E64 = ell_from_csr(a, dtype=np.float64, row_pad_multiple=E.n_rows_pad,
+                       n_cols_pad=E.n_cols_pad, device=False)
+    hi = np.asarray(E64.data, dtype=np.float32)
+    lo = (E64.data - hi.astype(np.float64)).astype(np.float32)
+    if not lo.any():
+        return hier  # operator is fp32-exact; skip the residual cross term
+    if not np.array_equal(hi, np.asarray(jax.device_get(E.data))):
+        # layout mismatch (an exotic setup path reordered slots): certifying
+        # against the rounded operator is still correct, just weaker
+        return hier
+    if lo.shape[0] < E.K:
+        lo = np.concatenate(
+            [lo, np.zeros((E.K - lo.shape[0], lo.shape[1]), np.float32)])
+    return dataclasses.replace(hier, a0_lo=jax.device_put(lo))
 
 
 def stage_hierarchy(hier: Hierarchy) -> Hierarchy:

@@ -12,10 +12,31 @@ mixed-precision iterative refinement (fp32 inner AMG-PCG + df64 outer
 residual) runs as ONE jitted program with zero host round-trips
 (BASELINE.json:5), replacing the host-scipy refinement loop.
 
-Caution: these identities require strict fp32 semantics.  XLA on TPU keeps
-f32 arithmetic exact (no fma contraction across these ops after the
-explicit splits); correctness is verified against numpy fp64 in
-tests/unit/test_df64.py, including under jit on the CI backend.
+Caution: these identities require strict fp32 semantics, and FUSED
+compilation is where they silently break (measured: a fused 81-slot
+compensated residual lost 7 digits — 2.6e-8 max error vs 7.3e-15 for the
+identical ops dispatched eagerly; root-caused by bisecting to a minimal
+two_prod+two_sum fusion and reading the optimized HLO/IR).  Two distinct
+backend rewrites were caught in the act:
+
+1. fp contraction: when the ROUNDED product ``p = a*b`` flows into
+   two_sum's subtractions inside one fusion, LLVM (XLA:CPU) contracts
+   ``x - a*b`` into ``fma(-a, b, x)`` — the UNROUNDED product — voiding
+   Knuth's identity at ~ulp(p).  Eager dispatch is immune only because p
+   materializes between kernels.  ``lax.optimization_barrier`` does NOT
+   survive the XLA:CPU pipeline (verified: absent from the optimized
+   HLO), so every EFT seam value instead passes through ``_fence`` — a
+   select on a data-dependent predicate (x == x, false only for NaN) that
+   no pass can fold away and that breaks mul->add adjacency in the IR.
+2. algebraic resimplification: with a CONSTANT operand, XLA rewrites
+   ``(a + b) - a -> b`` (seen as ``subtract(%neg, %neg)`` in optimized
+   HLO), zeroing the compensation.  Fencing ``s`` in two_sum hides the
+   producer, killing the pattern.
+
+The Veltkamp split uses integer bitmasking (exact, branch-free, cheaper
+than the multiplicative ``4097*a`` split, and no float rewrite applies).
+Verified against numpy fp64 in tests/unit/test_df64.py, including under
+jit inside a deep fused chain with gathers (the shape that broke).
 """
 
 from __future__ import annotations
@@ -26,28 +47,39 @@ import jax.numpy as jnp
 __all__ = ["two_sum", "two_prod", "df_add", "df_add_single", "df_neg",
            "df_from", "df_to_f32"]
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for fp32 (24-bit mantissa)
+
+def _fence(x):
+    """Identity that compilers cannot see through: the predicate is
+    data-dependent (false only for NaN), so the select survives every
+    simplification pass, and it separates ``x``'s producer from its
+    consumers so fp contraction cannot reach across (module docstring)."""
+    return jnp.where(x == x, x, jnp.zeros_like(x))
 
 
 def two_sum(a, b):
     """Error-free sum: a + b = s + e exactly (Knuth)."""
-    s = a + b
+    s = _fence(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
+_HI_MASK = jnp.uint32(0xFFFFF000)  # sign + exp + high 11 explicit mantissa bits
+
+
 def _split(a):
-    """Veltkamp split: a = hi + lo with hi having ~12 mantissa bits."""
-    c = _SPLITTER * a
-    hi = c - (c - a)
-    lo = a - hi
+    """Bitmask split: a = hi + lo, each with <= 12 significand bits, so all
+    cross products in two_prod are exact in fp32.  Integer masking instead
+    of the multiplicative Veltkamp split — see module docstring."""
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.uint32) & _HI_MASK, jnp.float32)
+    lo = a - hi  # exact: same exponent, low 12 mantissa bits
     return hi, lo
 
 
 def two_prod(a, b):
     """Error-free product: a * b = p + e exactly (Dekker)."""
-    p = a * b
+    p = _fence(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

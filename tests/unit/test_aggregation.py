@@ -121,6 +121,56 @@ def test_config4_block_path():
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
 
 
+def test_sa_host_matches_device():
+    """The host-NumPy SA setup (setup/host_aggregation.py, dispatched below
+    host_setup_threshold) mirrors the device pipeline: identical level
+    sizes and equal-quality convergence on both a block (elasticity) and a
+    scalar (Poisson) problem."""
+    import dataclasses
+
+    for A, B, cfg in (
+        (*elasticity_3d(4)[:2],
+         AmgConfig(splitting="aggregation", interp="smoothed",
+                   smoother="block_cheb", num_candidates=6, theta=0.08,
+                   coarse_size=16)),
+        (poisson_2d(24), None,
+         AmgConfig(splitting="aggregation", interp="smoothed",
+                   smoother="chebyshev", num_candidates=1)),
+    ):
+        hh = build_sa_hierarchy(A, cfg, B=B)  # n <= threshold -> host
+        hd = build_sa_hierarchy(
+            A, dataclasses.replace(cfg, host_setup_threshold=0), B=B)
+        assert [lv.n for lv in hh.levels] == [lv.n for lv in hd.levels]
+        b = default_rhs(A.shape[0])
+        it = []
+        for h in (hh, hd):
+            x, info = solve(A, b, cfg, SolveConfig(tol=1e-8, refine=True),
+                            hier=h)
+            assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+            it.append(info["iterations"])
+        assert abs(it[0] - it[1]) <= 3, it
+
+
+def test_refined_solve_certifies_true_residual_fp32_operator():
+    """Hierarchy.a0_lo: FE-assembled operators (stiffness entries ~1e5 are
+    not fp32-representable) used to certify 1e-9 on-device while the TRUE
+    fp64 residual stalled at ~kappa*6e-8; the compensated residual's
+    a0_lo * x_hi cross term certifies against the unrounded operator."""
+    from raptor_tpu.api import setup as amg_setup
+    from raptor_tpu.config import PRESETS
+
+    A, B, _ = elasticity_3d(5)
+    cfg = PRESETS["config4"]
+    hier = amg_setup(A, cfg, B=B)
+    assert hier.a0_lo is not None  # elasticity data is not fp32-exact
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, cfg, SolveConfig(tol=1e-8, refine=True), hier=hier)
+    true = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true <= 1.5e-8, true
+    # the certified value IS the true value (both vs the fp64 operator)
+    assert abs(info["relres"] - true) <= 0.1 * true, (info["relres"], true)
+
+
 @pytest.mark.slow
 def test_aggregate_size_distribution_at_scale():
     """Fence on aggregate quality at n >= 20k nodes (VERDICT r3 item 9):

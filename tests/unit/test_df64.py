@@ -94,3 +94,49 @@ def test_algebraic_device_refinement():
     tr = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
     assert info["relres"] <= 1e-8
     assert tr <= 2e-8, tr
+
+
+def test_df64_exact_inside_fused_chain_with_gathers():
+    """Regression (round 3): a deep fused two_prod/df_add chain with
+    gathers, compiled as ONE jit, must keep df64 accuracy.  XLA:CPU's
+    backend used to contract ``x - a*b`` into fma (unrounded product) and
+    rewrite ``(const + b) - const -> b`` across the EFT seams, silently
+    degrading the compensated residual to plain fp32 (errors at
+    ~ulp(a*b) ~ 1e-5 here); utils/df64._fence pins the seams.  Healthy
+    df64 accumulates ~1e-11 over K=27 terms of magnitude ~100; threshold
+    1e-10 is ~1e5 below the broken behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from raptor_tpu.utils.df64 import df_add, two_prod
+
+    rng = np.random.default_rng(0)
+    N, K = 512, 27
+    d64 = rng.standard_normal((K, N)) * 1e5
+    x64 = rng.standard_normal(N) * 1e-3
+    b64 = rng.standard_normal(N)
+    d = jnp.asarray(d64.astype(np.float32))
+    lo = jnp.asarray((d64 - np.asarray(d, np.float64)).astype(np.float32))
+    xh = jnp.asarray(x64.astype(np.float32))
+    xl = jnp.asarray((x64 - np.asarray(xh, np.float64)).astype(np.float32))
+    bh = jnp.asarray(b64.astype(np.float32))
+    bl = jnp.asarray((b64 - np.asarray(bh, np.float64)).astype(np.float32))
+    cols = jnp.asarray(rng.integers(0, N, (K, N)).astype(np.int32))
+
+    @jax.jit
+    def resid(d, lo, cols, xh, xl, rh, rl):
+        for k in range(K):
+            gh = jnp.take(xh, cols[k], axis=0)
+            gl = jnp.take(xl, cols[k], axis=0)
+            ph, pe = two_prod(d[k], gh)
+            pe = pe + d[k] * gl + lo[k] * gh
+            rh, rl = df_add(rh, rl, -ph, -pe)
+        return rh, rl
+
+    rh, rl = resid(d, lo, cols, xh, xl, bh, bl)
+    xx = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    ref = b64.copy()
+    for k in range(K):
+        ref -= d64[k] * xx[np.asarray(cols[k])]
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    assert np.abs(got - ref).max() < 1e-10, np.abs(got - ref).max()
