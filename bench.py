@@ -191,7 +191,9 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
         "config1": lambda: (poisson_2d(64), None),
         "config2": lambda: (poisson_3d(32), None),
         "config3": lambda: (anisotropic_2d(96), None),
-        "config4": lambda: elasticity_3d(10)[:2],  # (A, rigid-body modes)
+        # n=22,800 (round-4 agenda #6: was n=2,700): affordable now that the
+        # SA setup below host_setup_threshold builds in vectorized NumPy
+        "config4": lambda: elasticity_3d(20)[:2],  # (A, rigid-body modes)
         "config5": lambda: (poisson_3d(64), None),
     }
     out = {}
@@ -203,21 +205,26 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
             t0 = _t.perf_counter()
             hier = None
             if B is not None:
-                from raptor_tpu.setup.aggregation import build_sa_hierarchy
+                from raptor_tpu.api import setup as amg_setup
 
-                hier = build_sa_hierarchy(A, cfg, B=B)
+                hier = amg_setup(A, cfg, B=B)
             x, info = solve(A, b, cfg, SolveConfig(tol=1e-8, refine=True),
                             hier=hier)
             dt = _t.perf_counter() - t0
+            import scipy.sparse as sp
+
+            a64 = sp.csr_matrix(A).astype(np.float64)
+            true_rel = float(np.linalg.norm(b - a64 @ x) / np.linalg.norm(b))
             out[name] = {
                 "n": int(A.shape[0]),
                 "iterations": int(info["iterations"]),
                 "relres": float(info["relres"]),
+                "true_relres": true_rel,  # external fp64 check, not device
                 "total_s": dt,
                 "levels": info["stats"]["levels"],
             }
             log(f"[{name}] n={A.shape[0]} iters={info['iterations']} "
-                f"relres={info['relres']:.2e} {dt:.1f}s")
+                f"relres={info['relres']:.2e} true={true_rel:.2e} {dt:.1f}s")
         except Exception as e:  # a config row must not kill the headline
             out[name] = {"error": f"{type(e).__name__}: {e}"}
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
@@ -249,6 +256,13 @@ def main():
                          "JSON (used to run the secondary size in a fresh "
                          "process — the axon backend cannot hold both sizes' "
                          "programs at once)")
+    ap.add_argument("--configs-only", action="store_true",
+                    help="internal: run the acceptance-config rows and print "
+                         "one JSON dict (fresh process: the remote backend "
+                         "errors when too many programs accumulate)")
+    ap.add_argument("--alg-only", action="store_true",
+                    help="internal: run the algebraic-engine detail and "
+                         "print one JSON dict (fresh process, see above)")
     args = ap.parse_args()
 
     import jax
@@ -394,6 +408,16 @@ def main():
         m.pop("hier")
         print(json.dumps(m), flush=True)
         return
+    if args.configs_only:
+        print(json.dumps(acceptance_configs_detail(on_tpu)), flush=True)
+        return
+    if args.alg_only:
+        try:
+            print(json.dumps(algebraic_setup_detail()), flush=True)
+        except Exception as e:
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+        return
 
     kcheck = ({"ran": False} if args.no_kernel_check
               else kernel_equality_check(on_tpu))
@@ -454,6 +478,9 @@ def main():
             if p.returncode != 0:
                 raise RuntimeError(
                     f"rc={p.returncode}: {p.stderr.strip()[-400:]}")
+            for ln in p.stderr.splitlines():
+                if ln.startswith("["):
+                    log(f"  {ln}")
             m2 = json.loads(p.stdout.strip().splitlines()[-1])
             extra["256"] = {
                 "vcycle_ms": m2["vcycle_s"] * 1e3,
@@ -470,8 +497,31 @@ def main():
             log(f"[256^3] measurement failed: {type(e).__name__}: {e}")
             extra["256"] = {"error": f"{type(e).__name__}: {e}"}
 
-    configs_detail = {} if args.no_configs else acceptance_configs_detail(on_tpu)
-    alg_detail = {} if args.no_configs else algebraic_setup_detail()
+    # detail phases run in FRESH subprocesses: the remote (axon) TPU backend
+    # returns INVALID_ARGUMENT once too many programs accumulate in one
+    # process (observed killing the whole bench after the five config rows),
+    # and a detail row must never cost the headline JSON
+    def _sub_json(flag: str, timeout_s: int) -> dict:
+        import subprocess
+        import sys as _sys
+
+        try:
+            p = subprocess.run(
+                [_sys.executable, __file__, flag], capture_output=True,
+                text=True, timeout=timeout_s)
+            if p.returncode != 0:
+                raise RuntimeError(f"rc={p.returncode}: "
+                                   f"{p.stderr.strip()[-400:]}")
+            for ln in p.stderr.splitlines():
+                log(f"  {ln}")
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            log(f"[{flag}] FAILED: {type(e).__name__}: {e}")
+            return {"error": f"{type(e).__name__}: {e}"}
+
+    configs_detail = {} if args.no_configs else _sub_json("--configs-only",
+                                                          2400)
+    alg_detail = {} if args.no_configs else _sub_json("--alg-only", 2700)
 
     # ---- CPU-core-equivalent baseline (same size as the device headline:
     # cache-resident small problems flatter the CPU — VERDICT r1 weak #9;

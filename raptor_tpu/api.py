@@ -59,26 +59,64 @@ def setup(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
 BANDED_MIN_N = 2048
 
 
+def _plane_stats(deltas: np.ndarray, n: int, max_offsets: int = 32):
+    """(coverage, efficiency) of laying entries with column-row offsets
+    ``deltas`` as <= max_offsets dense diagonal planes: coverage = fraction
+    of nnz on the top offsets, efficiency = how full those planes are.
+    High on structured matrices in their given ordering (a grid stencil has
+    a handful of full constant diagonals); low after RCM or shuffling."""
+    if deltas.size == 0:
+        return 0.0, 0.0
+    _, counts = np.unique(deltas, return_counts=True)
+    top = np.sort(counts)[::-1][:max_offsets]
+    return float(top.sum() / deltas.size), float(top.sum() / (len(top) * n))
+
+
+def _plane_stats_ell(E) -> tuple:
+    """_plane_stats over a (host-numpy) EllMatrix's real slots."""
+    data = np.asarray(E.data)
+    cols = np.asarray(E.cols)
+    nnz = np.asarray(E.row_nnz)
+    n = E.shape[0]
+    lane = np.arange(E.n_rows_pad)
+    slot = (np.arange(E.K)[:, None] < nnz[None, :]) & (lane < n)[None, :]
+    return _plane_stats((cols - lane[None, :])[slot], n)
+
+
 def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
-    """fine_layout='banded' (BASELINE.json:5 general CSR): RCM the input
-    once, build the hierarchy in that ordering (1024-aligned padding so
-    every level is banded-tileable), and attach a BandedMatrix layout to
-    each large level.  P/R and all vectors stay in the one RCM ordering —
-    only the operator *apply* changes."""
+    """fine_layout='banded' (BASELINE.json:5 general CSR): choose the
+    ordering and per-level fast layout from the matrix's structure.
+
+    If the input's entries already sit on a few dense constant diagonals
+    (a structured matrix fed to the general API without grid info — e.g. a
+    natural-ordered grid stencil), keep the given ordering and attach
+    hybrid DIA-plane layouts (core/hybrid.HybridMatrix): the apply is then
+    plane rolls / the Pallas DIA kernel with ZERO gathers.  Otherwise RCM
+    the input once and attach the banded dynamic-gather layout.  Either
+    way the hierarchy is built with 1024-aligned padding in ONE fixed
+    ordering; P/R and all vectors share it — only the operator *apply*
+    changes per level."""
     import dataclasses
 
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     from raptor_tpu.core.ell import ell_from_csr
-    from raptor_tpu.core.hybrid import banded_from_ell
+    from raptor_tpu.core.hybrid import banded_from_ell, hybrid_from_ell
 
     assert not isinstance(A, EllMatrix), "fine_layout='banded' takes scipy input"
     a = sp.csr_matrix(A)
     n = a.shape[0]
-    p = np.asarray(
-        reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
-    ).astype(np.int64)
+    coo = a.tocoo()
+    cov0, eff0 = _plane_stats(coo.col.astype(np.int64) - coo.row, n)
+    plane_mode = cov0 >= 0.9 and eff0 >= 0.5
+    if plane_mode:
+        # already plane-structured: RCM would destroy the constant offsets
+        p = np.arange(n, dtype=np.int64)
+    else:
+        p = np.asarray(
+            reverse_cuthill_mckee(a + a.T, symmetric_mode=True)
+        ).astype(np.int64)
     ar = a[p][:, p].tocsr()
 
     pm_mult = int(np.lcm(config.pad_multiple, 1024))
@@ -97,17 +135,32 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     levels = []
     for lev in hier.levels:
         if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
-            B = banded_from_ell(lev.A)
-            if B is not None and B.n_pad == lev.A.n_rows_pad:
-                lev = dataclasses.replace(lev, Aband=B)
+            attached = False
+            if plane_mode:
+                # Galerkin products of plane-structured operators stay
+                # plane-structured (offsets at doubled spacings), so the
+                # whole hierarchy usually rides the DIA-plane apply
+                cov, eff = _plane_stats_ell(lev.A)
+                if cov >= 0.9 and eff >= 0.5:
+                    H = hybrid_from_ell(
+                        lev.A, reorder=False, max_offsets=32,
+                        pad_multiple=lev.A.n_rows_pad, device=False)
+                    if H.n_pad == lev.A.n_rows_pad:
+                        lev = dataclasses.replace(lev, Ahyb=H)
+                        attached = True
+            if not attached:
+                B = banded_from_ell(lev.A)
+                if B is not None and B.n_pad == lev.A.n_rows_pad:
+                    lev = dataclasses.replace(lev, Aband=B)
+                    attached = True
+            if attached and lev.P is not None:
                 # transfer operators follow the same grid-proportional band
-                # (coarse ranks are monotone in the RCM fine order)
-                if lev.P is not None:
-                    Pb = rect_banded_from_ell(
-                        lev.P, pad_rows(lev.P.n_cols_pad, 1024))
-                    Rb = rect_banded_from_ell(
-                        lev.R, pad_rows(lev.R.n_cols_pad, 1024))
-                    lev = dataclasses.replace(lev, Pband=Pb, Rband=Rb)
+                # (coarse ranks are monotone in the fixed fine order)
+                Pb = rect_banded_from_ell(
+                    lev.P, pad_rows(lev.P.n_cols_pad, 1024))
+                Rb = rect_banded_from_ell(
+                    lev.R, pad_rows(lev.R.n_cols_pad, 1024))
+                lev = dataclasses.replace(lev, Pband=Pb, Rband=Rb)
         levels.append(lev)
 
     n_pad = hier.levels[0].A.n_rows_pad

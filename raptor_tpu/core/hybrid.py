@@ -76,6 +76,7 @@ def hybrid_from_ell(
     max_offsets: int = 512,
     reorder: bool = True,
     pad_multiple: int = 128,
+    device: bool = True,
 ) -> HybridMatrix:
     """Host structure pass: RCM reorder + offset bucketing (see module doc).
 
@@ -133,7 +134,7 @@ def hybrid_from_ell(
 
         spill = ell_from_csr(s, dtype=np.asarray(E.data).dtype,
                              row_pad_multiple=n_pad,
-                             identity_pad_rows=False)
+                             identity_pad_rows=False, device=device)
         if spill.n_cols_pad < n_pad:
             spill = dataclasses.replace(spill, n_cols_pad=n_pad)
 
@@ -141,11 +142,15 @@ def hybrid_from_ell(
     perm_pad[:n] = p
     iperm_pad = np.arange(n_pad, dtype=np.int32)
     iperm_pad[:n] = ip
+    # device=False: keep numpy leaves — the banded/hybrid setup path builds
+    # whole hierarchies on host and uploads once (stage_hierarchy); a
+    # device push per level costs a tunnel round trip each
+    put = jnp.asarray if device else np.asarray
     return HybridMatrix(
-        planes=jnp.asarray(planes),
+        planes=put(planes),
         spill=spill,
-        perm=jnp.asarray(perm_pad),
-        iperm=jnp.asarray(iperm_pad),
+        perm=put(perm_pad),
+        iperm=put(iperm_pad),
         offsets=tuple(keep) if keep else (0,),
         shape=a.shape,
         n_pad=n_pad,

@@ -54,7 +54,7 @@ __all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats"]
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax", "Abell",
-                 "binv", "Aband", "Pband", "Rband"],
+                 "binv", "Aband", "Pband", "Rband", "Ahyb"],
     meta_fields=["n", "ncolors"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +81,11 @@ class Level:
     Aband: Optional["object"] = None  # core.hybrid.BandedMatrix
     Pband: Optional["object"] = None  # core.hybrid.RectBanded (transfer)
     Rband: Optional["object"] = None
+    # hybrid DIA-plane layout (BASELINE.json:5): present when the level's
+    # entries sit on a few constant diagonals in the hierarchy's ordering
+    # (a structured matrix fed to the general API without grid info) —
+    # the apply is then plane rolls / the Pallas DIA kernel, zero gathers
+    Ahyb: Optional["object"] = None  # core.hybrid.HybridMatrix
 
 
 @partial(

@@ -39,6 +39,10 @@ def apply_op(lev: Level, x):
         from raptor_tpu.core.bell import bell_spmv
 
         return bell_spmv(lev.Abell, x)
+    if lev.Ahyb is not None:
+        from raptor_tpu.core.hybrid import hybrid_spmv_ro
+
+        return hybrid_spmv_ro(lev.Ahyb, x)
     if lev.Aband is not None:
         from raptor_tpu.core.hybrid import banded_spmv_ro
 
@@ -115,7 +119,7 @@ def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
-    if lev.Aband is not None:
+    if lev.Aband is not None or lev.Ahyb is not None:
         return _smooth_sp(lev, cfg, b, x, backward,
                           sp=lambda v: apply_op(lev, v))
     if cfg.smoother == "block_jacobi":
@@ -253,6 +257,6 @@ def materialize_tail(hier: Hierarchy, max_n: int,
         else:
             Meff = M
         lev = dataclasses.replace(hier.levels[k], Aband=None, Pband=None,
-                                  Rband=None)
+                                  Rband=None, Ahyb=None)
         M = _level_dense(lev, cfg, Meff)
     return dataclasses.replace(hier, tail_op=M, tail_start=ts)

@@ -80,6 +80,7 @@ def test_dist_algebraic_setup_solves():
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
 
 
+@pytest.mark.slow
 def test_dist_algebraic_setup_matches_single_up_to_perm():
     """Level sizes and coarse-space dimensions agree with the single-device
     build; the level-1 operator agrees up to the block-padded coarse
@@ -136,6 +137,7 @@ def test_dist_algebraic_setup_matches_single_up_to_perm():
         assert np.isclose(f1, fr, rtol=1e-10), (f1, fr)
 
 
+@pytest.mark.slow
 def test_dist_algebraic_setup_mcgs_cheb():
     """Smoother variants build and solve through the distributed setup."""
     A = poisson_3d(12)
@@ -208,6 +210,7 @@ def test_dist_cljp_setup_solves():
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
 
 
+@pytest.mark.slow
 def test_dist_classical_interp_matches_single():
     """Distributed modified-classical interpolation (VERDICT r3 item 6):
     owned-row P values equal the single-device classical P bit-for-bit

@@ -100,6 +100,7 @@ def test_unshardable_band_filtered():
     assert _shardable_band(B, NDEV) is None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("interpret", [None, True])
 def test_dist_rect_banded_transfer_matches_single(interpret):
     """Sharded rect-banded transfer apply == the single-device rect plan
@@ -139,6 +140,7 @@ def test_dist_rect_banded_transfer_matches_single(interpret):
         assert np.allclose(y, y_ref, rtol=1e-13, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_dist_banded_solve_with_banded_transfers():
     """End-to-end sharded solve with operator AND transfers on the banded
     kernels matches the single-device solve."""
@@ -164,6 +166,7 @@ def test_dist_banded_solve_with_banded_transfers():
     assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_dist_banded_solve_matches_single_device():
     """End-to-end: fine_layout='banded' hierarchy distributed over the mesh
     routes level-0 applies through dist_banded_spmv and still reproduces the

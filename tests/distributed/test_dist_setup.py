@@ -20,6 +20,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_dist_setup_matches_single_device():
     st = stencil_7pt()
     dims = (16, 16, 16)

@@ -30,6 +30,7 @@ def mesh():
     return jax.make_mesh((NDEV,), ("x",), devices=jax.devices()[:NDEV])
 
 
+@pytest.mark.slow
 def test_sdist_matches_single_device():
     st = stencil_7pt()
     dims = (16, 16, 16)
@@ -82,6 +83,7 @@ def test_sdist_2d():
     assert np.linalg.norm(ref @ xn - b) / np.linalg.norm(b) <= 1e-7
 
 
+@pytest.mark.slow
 def test_sdist_cheb4():
     st = stencil_7pt()
     A = dia_from_stencil(st, (16, 16, 16), dtype=np.float64)
@@ -101,6 +103,7 @@ def test_sdist_cheb4():
 
 @pytest.mark.parametrize("smoother,cycle", [("chebyshev", "V"),
                                             ("mcgs", "W")])
+@pytest.mark.slow
 def test_sdist_feature_matrix_matches_single(smoother, cycle):
     """chebyshev + W-cycle sharded == unsharded (VERDICT r1 weak #5).
     Small box: the W-cycle's doubled visits make the sharded program size

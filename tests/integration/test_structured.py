@@ -42,6 +42,7 @@ def test_poisson_2d_structured():
     assert max(l.A.n_off for l in hier.levels) <= 9
 
 
+@pytest.mark.slow
 def test_poisson_3d_structured():
     iters, rel, true_rel, hier = run(stencil_7pt(), (16, 16, 16))
     assert rel <= 1e-8 and true_rel <= 1e-7

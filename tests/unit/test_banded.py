@@ -76,6 +76,7 @@ def test_banded_compiled_tpu():
     assert np.allclose(y[:n], y_ref, rtol=1e-5, atol=1e-5 * np.abs(y_ref).max())
 
 
+@pytest.mark.slow
 def test_banded_solve_path():
     """fine_layout='banded': the full solve() runs with the banded layout
     on large levels, converges to 1e-8, and returns the solution in the

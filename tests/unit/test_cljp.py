@@ -41,6 +41,7 @@ def test_cljp_invariants(gen, theta):
             assert (cf[deps] == C_PT).any(), f"F point {i} has no C influence"
 
 
+@pytest.mark.slow
 def test_cljp_hierarchy_converges():
     from raptor_tpu import solve, AmgConfig, SolveConfig
 

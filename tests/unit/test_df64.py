@@ -2,6 +2,7 @@
 relative against numpy fp64 (the on-device replacement for fp64 refinement;
 raptor_tpu/utils/df64.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +53,7 @@ def test_df64_residual_precision():
     assert err < 1e-12, err
 
 
+@pytest.mark.slow
 def test_structured_solve_refined_certifies_1e8():
     from raptor_tpu.config import AmgConfig
     from raptor_tpu.gallery import default_rhs, stencil_grid

@@ -58,6 +58,7 @@ def test_algebraic_tail_solve_iterations_match():
     assert np.linalg.norm(A @ x1 - b) / np.linalg.norm(b) <= 1e-7
 
 
+@pytest.mark.slow
 def test_structured_tail_matches_recursion():
     from tests.unit.test_dia import stencil_7pt
     from raptor_tpu.structured.dia import dia_from_stencil
