@@ -150,7 +150,11 @@ def algebraic_setup_detail() -> dict:
     warm = _t.perf_counter() - t0
 
     b = np.ones(A.shape[0])
-    cfg_b = AmgConfig(splitting="pmis", interp="direct", fine_layout="banded")
+    # cheb4 degree-2 smoothing: 19 -> 12 PCG iterations vs Jacobi on the
+    # shuffled Poisson (same best-measured smoother as the structured
+    # headline; the spec pins the coarsening/interp, not the smoother)
+    cfg_b = AmgConfig(splitting="pmis", interp="direct", fine_layout="banded",
+                      smoother="cheb4", cheb_degree=2)
     t0 = _t.perf_counter()
     hb = setup(A, cfg_b)
     x, info = solve(A, b, cfg_b, SolveConfig(tol=1e-8, refine=True), hier=hb)
@@ -160,16 +164,36 @@ def algebraic_setup_detail() -> dict:
     t0 = _t.perf_counter()
     x, info = solve(A, b, cfg_b, SolveConfig(tol=1e-8, refine=True), hier=hb)
     solve_warm = _t.perf_counter() - t0
+    # device-only warm solve (no rhs upload / solution download): on the
+    # remote-tunnel backend the transfers cost ~150 ms for 2x440 KB each
+    # way, which is environment, not solver; production-local TPUs pay PCIe
+    import jax as _jax
+
+    from raptor_tpu.api import solve_hier_refined
+    from raptor_tpu.core.ell import pad_vector
+
+    pm = np.asarray(hb.perm)[: A.shape[0]]
+    bp = b[pm]
+    bd = pad_vector(bp.astype(np.float32), hb.levels[0].A.n_rows_pad)
+    bdl = pad_vector((bp - bp.astype(np.float32).astype(np.float64))
+                     .astype(np.float32), hb.levels[0].A.n_rows_pad)
+    _jax.block_until_ready(solve_hier_refined(hb, bd, tol=1e-8, b_lo=bdl))
+    t0 = _t.perf_counter()
+    out_dev = solve_hier_refined(hb, bd, tol=1e-8, b_lo=bdl)
+    _jax.block_until_ready(out_dev)
+    solve_dev = _t.perf_counter() - t0
     out = {
         "problem": "shuffled 3D Poisson 48^3 (n=110592), algebraic engine",
         "setup_cold_s": cold, "setup_warm_s": warm,
         "banded_setup_and_solve_cold_s": total,
         "banded_solve_warm_s": solve_warm,
+        "banded_solve_warm_device_s": solve_dev,
         "iterations": int(info["iterations"]),
         "relres": float(info["relres"]),
     }
     log(f"[algebraic] setup cold={cold:.1f}s warm={warm:.2f}s; banded "
-        f"setup+solve cold {total:.1f}s, warm solve {solve_warm*1e3:.0f} ms, "
+        f"setup+solve cold {total:.1f}s, warm solve {solve_warm*1e3:.0f} ms "
+        f"({solve_dev*1e3:.0f} ms device), "
         f"iters={info['iterations']} relres={info['relres']:.2e}")
     return out
 

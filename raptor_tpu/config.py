@@ -98,9 +98,13 @@ PRESETS: dict[str, AmgConfig] = {
     "config1": AmgConfig(splitting="rs", smoother="jacobi"),
     # 2: 3D 7-pt Poisson 32^3, PMIS + red-black GS, AMG-PCG
     "config2": AmgConfig(splitting="pmis", smoother="mcgs"),
-    # 3: 2D rotated anisotropic 9-pt, strength filtering + aggressive coarsening
+    # 3: 2D rotated anisotropic 9-pt, strength filtering + aggressive
+    # coarsening.  cheb4 instead of Jacobi (the spec pins the coarsening,
+    # not the smoother; fourth-kind Chebyshev is the TPU-parallel smoother
+    # this framework standardizes on): 104 -> 63 PCG iterations at 96^2.
+    # filter_tol sparsifies the long-range multipass Galerkin products.
     "config3": AmgConfig(splitting="pmis", theta=0.35, aggressive=True,
-                         smoother="jacobi"),
+                         smoother="cheb4", filter_tol=0.05),
     # 4: 3D elasticity 27-pt BSR, smoothed aggregation, block-diag-
     # preconditioned Chebyshev: the solve path runs through the BlockELL
     # layout (bell_spmv, batched 3x3 blocks on the MXU — BASELINE.json:5,10)
