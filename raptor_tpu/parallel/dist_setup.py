@@ -415,6 +415,236 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
     return out
 
 
+def _run_split_aggressive(mesh, A_dist: DistMatrix, data_np, cols_np, nnz_np,
+                          perm, cfg: AmgConfig, n_pad_cmp: int, ndev: int,
+                          n_real: int):
+    """Distributed aggressive (distance-2) splitting: PMIS on G² of the
+    symmetrized strength graph (setup/aggressive.aggressive_splitting under
+    shard_map).
+
+    The G² PATTERN is a host structure pass (the driver already keeps the
+    level's global structure host-side): strength mask in NumPy from the
+    same fp32 values, boolean square in SciPy.  The pattern is then laid
+    out as a DistMatrix with −1 off-diagonal / +1 diagonal data, so the
+    UNCHANGED ``_run_split`` sees every off-diagonal entry as strong and
+    runs the identical exact-integer-weight PMIS rounds — the splitting is
+    bit-identical to the single-device ``aggressive_splitting``."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.setup.host_setup import np_strength_mask
+
+    n_pad = cols_np.shape[1]
+    smask = np_strength_mask(data_np, cols_np, nnz_np, cfg.theta,
+                             cfg.strength)
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], cols_np.shape)
+    G = sp.csr_matrix(
+        (np.ones(int(smask.sum()) + n_pad, np.float32),
+         (np.r_[rows[smask], np.arange(n_pad)],
+          np.r_[cols_np[smask], np.arange(n_pad)])),
+        shape=(n_pad, n_pad))
+    G2 = (G @ G).tocsr()
+    G2.sort_indices()
+    nnz2 = np.diff(G2.indptr).astype(np.int32)
+    K2 = max(int(nnz2.max(initial=1)), 1)
+    g2_cols = np.zeros((K2, n_pad), np.int32)
+    g2_data = np.zeros((K2, n_pad), np.float32)
+    r = np.repeat(np.arange(n_pad), nnz2)
+    slot = np.arange(len(G2.indices)) - np.repeat(G2.indptr[:-1], nnz2)
+    g2_cols[slot, r] = G2.indices
+    g2_data[slot, r] = np.where(G2.indices == r, 1.0, -1.0)
+
+    G2_dist = _make_dist(jnp.asarray(g2_data), g2_cols, jnp.asarray(nnz2),
+                         ndev, n_pad // ndev, K2, (n_real, n_real))
+    # −1 off / +1 diag data: classical strength marks every off-diagonal
+    # entry strong for any theta <= 1
+    cfg_g2 = dataclasses.replace(cfg, theta=min(cfg.theta, 0.9),
+                                 strength="classical")
+    return _run_split(mesh, G2_dist, perm, cfg_g2, n_pad_cmp)
+
+
+def _run_multipass(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
+                   ndev: int, max_passes: int = 4):
+    """Distributed Stüben multipass interpolation
+    (setup/aggressive.multipass_interpolation under shard_map): pass 0 is
+    the direct core on rows with a strong C neighbor; each later pass
+    interpolates still-empty F rows through already-interpolated strong
+    neighbors, with P's halo rows exchanged per pass (the reach grows one
+    graph distance per pass, exactly the A halo plan).  Host-driven passes
+    with psum'd todo counts and pmax'd static product widths — the same
+    two-sync-per-pass shape as the rest of this module.
+
+    Returns (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax|None)."""
+    nc_glob = ndev * max_c
+    want_lmax = cfg.smoother in ("chebyshev", "cheb4")
+
+    def body0(dm: DistMatrix, cf_shard):
+        A_loc = dm.local_ell()
+        plan = dm.halo
+        smask = strength_mask(A_loc, cfg.theta, cfg.strength)
+        is_c = cf_shard == C_PT
+        me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        rank = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+        cmap = jnp.where(is_c, me * max_c + rank, 0)
+        is_c_ext = halo_exchange(is_c.astype(jnp.int32), plan, AXIS) > 0
+        cmap_ext = halo_exchange(cmap, plan, AXIS)
+        Pl = direct_interpolation_core(
+            A_loc, smask, is_c, is_c_ext, cmap, cmap_ext)
+        return Pl.data, Pl.cols, Pl.row_nnz
+
+    run0 = _shmap(mesh, body0, in_specs=(_dm_spec(A_dist), P(AXIS)),
+                  out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)))
+    pd, pc, pn = run0(A_dist, cf)
+
+    def _as_P(pd, pc, pn, n_local):
+        return EllMatrix(data=pd, cols=pc, row_nnz=pn,
+                         shape=(n_local, nc_glob),
+                         n_rows_pad=n_local, n_cols_pad=nc_glob)
+
+    def _active_W(dm, cf_shard, Pl):
+        """(W, active, dtil): the masked distance-1 operator rows of the
+        still-empty F points with an interpolated strong neighbor."""
+        A_loc = dm.local_ell()
+        plan = dm.halo
+        smask = strength_mask(A_loc, cfg.theta, cfg.strength)
+        n_local = dm.n_rows_local
+        me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        lane = me * n_local + jnp.arange(n_local)
+        is_real_f = (cf_shard == F_PT) & (lane < A_dist.shape[0])
+        done = Pl.row_nnz > 0
+        done_ext = halo_exchange(done.astype(jnp.int32), plan, AXIS) > 0
+        todo = is_real_f & ~done
+        usable = smask & jnp.take(done_ext, A_loc.cols)
+        active = todo & jnp.any(usable, axis=0)
+        wvals = jnp.where(usable & active[None, :], A_loc.data, 0)
+        W = dataclasses.replace(
+            A_loc, data=wvals,
+            row_nnz=jnp.where(active, A_loc.row_nnz, 0).astype(jnp.int32))
+        used_sum = jnp.sum(wvals, axis=0)
+        off = (A_loc.cols != A_loc.row_index()) & A_loc.slot_mask()
+        row_sum = jnp.sum(jnp.where(off, A_loc.data, 0), axis=0)
+        dtil = A_loc.diagonal() + (row_sum - used_sum)
+        dtil = jnp.where(dtil != 0, dtil, 1.0)
+        return W, todo, active, dtil
+
+    for _ in range(max_passes):
+        def body_m(dm: DistMatrix, cf_shard, pd, pc, pn):
+            Pl = _as_P(pd, pc, pn, dm.n_rows_local)
+            W, todo, active, _ = _active_W(dm, cf_shard, Pl)
+            P_ext = _exchange_rows(Pl, dm.halo, nc_glob)
+            k_wp = jax.lax.pmax(_spgemm_width(W, P_ext), AXIS)
+            n_todo = jax.lax.psum(jnp.sum(todo.astype(jnp.int32)), AXIS)
+            n_act = jax.lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
+            return n_todo, n_act, k_wp
+
+        runm = _shmap(
+            mesh, body_m,
+            in_specs=(_dm_spec(A_dist), P(AXIS), P(None, AXIS),
+                      P(None, AXIS), P(AXIS)),
+            out_specs=(P(), P(), P()))
+        n_todo, n_act, k_wp = (int(v) for v in runm(A_dist, cf, pd, pc, pn))
+        if n_todo == 0 or n_act == 0:
+            break
+        k_new = max(int(pd.shape[0]), k_wp)
+
+        def body_u(dm: DistMatrix, cf_shard, pd, pc, pn):
+            Pl = _as_P(pd, pc, pn, dm.n_rows_local)
+            W, _, active, dtil = _active_W(dm, cf_shard, Pl)
+            P_ext = _exchange_rows(Pl, dm.halo, nc_glob)
+            WP = spgemm_fixed(W, P_ext, k_out=k_wp)
+            scale = jnp.where(active, -1.0 / dtil, 0.0).astype(WP.dtype)
+            WPs = WP.scale_rows(scale)
+
+            def padk(a, k):
+                return jnp.concatenate(
+                    [a, jnp.zeros((k - a.shape[0],) + a.shape[1:], a.dtype)])
+
+            # active rows were EMPTY in P (that is what made them active),
+            # so the update is a per-row select, no merge
+            data = jnp.where(active[None, :], padk(WPs.data, k_new),
+                             padk(Pl.data, k_new))
+            cols = jnp.where(active[None, :], padk(WPs.cols, k_new),
+                             padk(Pl.cols, k_new))
+            nnz = jnp.where(active, WPs.row_nnz, Pl.row_nnz).astype(jnp.int32)
+            return data, cols, nnz
+
+        runu = _shmap(
+            mesh, body_u,
+            in_specs=(_dm_spec(A_dist), P(AXIS), P(None, AXIS),
+                      P(None, AXIS), P(AXIS)),
+            out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)))
+        pd, pc, pn = runu(A_dist, cf, pd, pc, pn)
+
+    def body_fin(dm: DistMatrix, pd, pc, pn):
+        A_loc = dm.local_ell()
+        plan = dm.halo
+        n_local = dm.n_rows_local
+        Pl = _as_P(pd, pc, pn, n_local)
+        P_ext = _exchange_rows(Pl, plan, nc_glob)
+        me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        k_ap = jax.lax.pmax(_spgemm_width(A_loc, P_ext), AXIS)
+        owned = P_ext.slot_mask() & (P_ext.cols >= me * max_c) \
+            & (P_ext.cols < (me + 1) * max_c)
+        loc = jnp.where(owned, P_ext.cols - me * max_c, max_c)
+        cnts = (
+            jnp.zeros(max_c, jnp.int32)
+            .at[loc.ravel()]
+            .add(jnp.ones(loc.size, jnp.int32), mode="drop")
+        )
+        k_pt = jax.lax.pmax(jnp.max(cnts), AXIS)
+        d = A_loc.diagonal()
+        dinv = 1.0 / jnp.where(d != 0, d, 1.0)
+        out = (dinv, k_ap, k_pt)
+        if want_lmax:
+            out += (_dist_lmax(A_loc, plan, dinv, n_local),)
+        return out
+
+    out_specs = (P(AXIS), P(), P())
+    if want_lmax:
+        out_specs += (P(),)
+    runf = _shmap(mesh, body_fin,
+                  in_specs=(_dm_spec(A_dist), P(None, AXIS), P(None, AXIS),
+                            P(AXIS)),
+                  out_specs=out_specs)
+    fin = runf(A_dist, pd, pc, pn)
+    lmax = fin[3] if want_lmax else None
+    return pd, pc, pn, fin[0], fin[1], fin[2], lmax
+
+
+def _run_widths(mesh, A_dist: DistMatrix, p_arrs, max_c: int, ndev: int):
+    """(k_ap, k_pt) for the RAP stage measured against THIS DistMatrix's
+    halo plan — the aggressive path re-measures with the widened plan
+    (its Pt assembles more fine rows per owned coarse column than the
+    distance-1 plan the multipass measured with)."""
+    nc_glob = ndev * max_c
+
+    def body(dm: DistMatrix, pd, pc, pn):
+        A_loc = dm.local_ell()
+        plan = dm.halo
+        Pl = EllMatrix(
+            data=pd, cols=pc, row_nnz=pn,
+            shape=(dm.n_rows_local, nc_glob),
+            n_rows_pad=dm.n_rows_local, n_cols_pad=nc_glob)
+        P_ext = _exchange_rows(Pl, plan, nc_glob)
+        me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        k_ap = jax.lax.pmax(_spgemm_width(A_loc, P_ext), AXIS)
+        owned = P_ext.slot_mask() & (P_ext.cols >= me * max_c) \
+            & (P_ext.cols < (me + 1) * max_c)
+        loc = jnp.where(owned, P_ext.cols - me * max_c, max_c)
+        cnts = (
+            jnp.zeros(max_c, jnp.int32)
+            .at[loc.ravel()]
+            .add(jnp.ones(loc.size, jnp.int32), mode="drop")
+        )
+        k_pt = jax.lax.pmax(jnp.max(cnts), AXIS)
+        return k_ap, k_pt
+
+    run = _shmap(mesh, body,
+                 in_specs=(_dm_spec(A_dist), P(None, AXIS), P(None, AXIS),
+                           P(AXIS)),
+                 out_specs=(P(), P()))
+    return run(A_dist, *p_arrs)
+
+
 def _run_rap(mesh, A_dist: DistMatrix, p_arrs, k_ap: int, k_pt: int,
              max_c: int, ndev: int):
     """AP = A @ P on owned rows; Pt = owned-coarse-column transpose of the
@@ -518,9 +748,10 @@ def _run_ac(mesh, A_dist: DistMatrix, ap_arrs, pt_arrs, ccounts, k_ac: int,
 # ---------------------------------------------------------------------------
 
 def _make_dist(data, cols_np, nnz, ndev: int, nc_own: int, K: int,
-               shape) -> DistMatrix:
+               shape, extra_ghosts=None) -> DistMatrix:
     """DistMatrix from device values + host structure (values untouched)."""
-    plan, new_cols = plan_and_remap(cols_np, np.asarray(nnz), ndev, nc_own)
+    plan, new_cols = plan_and_remap(cols_np, np.asarray(nnz), ndev, nc_own,
+                                    extra_ghosts=extra_ghosts)
     return DistMatrix(
         data=data, cols=jnp.asarray(new_cols), row_nnz=jnp.asarray(nnz),
         halo=plan, n_rows_local=data.shape[1] // ndev, K=K, shape=shape,
@@ -554,12 +785,13 @@ def dist_build_hierarchy(
     """Build a DistHierarchy with the setup itself sharded over the mesh
     (BASELINE.json:11 weak-scaling SpGEMM setup).
 
-    Supports the classical PMIS + direct-interpolation pipeline (config 5's
-    configuration).  For RS/CLJP/aggressive/SA setups use the single-device
-    ``build_hierarchy`` + ``distribute_hierarchy``.  The result is
-    numerically identical to the single-device hierarchy up to the
-    block-padded coarse renumbering (see module docstring) and solves with
-    ``dist_solve`` unchanged.
+    Supports PMIS/CLJP splitting with direct or modified-classical
+    interpolation, and aggressive (distance-2) coarsening with multipass
+    interpolation (config 3's pipeline).  For RS/SA setups use the
+    single-device ``build_hierarchy`` + ``distribute_hierarchy``.  The
+    result is numerically identical to the single-device hierarchy up to
+    the block-padded coarse renumbering (see module docstring) and solves
+    with ``dist_solve`` unchanged.
     """
     if config.splitting not in ("pmis", "cljp"):
         raise ValueError("dist_build_hierarchy supports splitting='pmis' or "
@@ -567,8 +799,13 @@ def dist_build_hierarchy(
     if config.interp not in ("direct", "classical"):
         raise ValueError("dist_build_hierarchy supports interp='direct' or "
                          f"'classical' (got {config.interp!r})")
-    if config.aggressive:
-        raise ValueError("aggressive coarsening is single-device only")
+    if config.aggressive and config.splitting != "pmis":
+        raise ValueError("distributed aggressive coarsening runs on the "
+                         "PMIS engine (distance-2 MIS on G^2)")
+    if config.filter_tol > 0:
+        raise ValueError("coarse-operator filtering (filter_tol) is not "
+                         "mirrored in the distributed RAP yet; set "
+                         "filter_tol=0 for dist_build_hierarchy")
 
     if mesh is None:
         mesh = make_solve_mesh(ndev)
@@ -594,7 +831,12 @@ def dist_build_hierarchy(
     while True:
         if n_real <= tail_size or len(records) + 2 >= config.max_levels:
             break
-        if config.splitting == "cljp":
+        if config.aggressive:
+            cf, ccounts = _run_split_aggressive(
+                mesh, A_dist, np.asarray(A_dist.data), cols_np,
+                np.asarray(A_dist.row_nnz), perm, config, n_pad_cmp, ndev,
+                n_real)
+        elif config.splitting == "cljp":
             cf, ccounts = _run_split_cljp(mesh, A_dist, perm, gidx, config,
                                           n_pad_cmp)
         else:
@@ -606,19 +848,47 @@ def dist_build_hierarchy(
         max_c = pad_rows(int(cc.max()), 8)
         nc_glob = ndev * max_c
 
-        e2g = None
-        if config.interp == "classical":
-            e2g = _ext2glob(cols_np, np.asarray(A_dist.row_nnz), ndev,
-                            n_pad // ndev, A_dist.halo.n_ext)
-        (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_interp(
-            mesh, A_dist, cf, config, max_c, ndev, ext_glob=e2g
-        )
+        A_rap = A_dist
+        if config.aggressive:
+            (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_multipass(
+                mesh, A_dist, cf, config, max_c, ndev)
+            # multipass P reaches coarse points 2-3 graph distances away:
+            # the RAP's transpose assembly needs each coarse row's OWNER to
+            # receive every contributing fine row, which the operator's
+            # distance-1 halo no longer covers.  Widen the plan with the
+            # P^T pattern (host structure pass, like everything else here).
+            pc_host = np.asarray(P_cols)
+            pn_host = np.asarray(P_nnz)
+            pmask = (np.arange(pc_host.shape[0])[:, None]
+                     < pn_host[None, :])
+            fine = np.broadcast_to(
+                np.arange(n_pad)[None, :], pc_host.shape)
+            owner_c = pc_host // max_c
+            extra = [np.unique(fine[pmask & (owner_c == p)])
+                     for p in range(ndev)]
+            A_rap = _make_dist(A_dist.data, cols_np,
+                               np.asarray(A_dist.row_nnz), ndev,
+                               n_pad // ndev, A_dist.K, A_dist.shape,
+                               extra_ghosts=extra)
+            # re-measure the transpose width over the WIDER plan (more
+            # fine rows reach each owned coarse column; ell_transpose_fixed
+            # would silently truncate on the narrow measure)
+            k_ap, k_pt = _run_widths(
+                mesh, A_rap, (P_data, P_cols, P_nnz), max_c, ndev)
+        else:
+            e2g = None
+            if config.interp == "classical":
+                e2g = _ext2glob(cols_np, np.asarray(A_dist.row_nnz), ndev,
+                                n_pad // ndev, A_dist.halo.n_ext)
+            (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_interp(
+                mesh, A_dist, cf, config, max_c, ndev, ext_glob=e2g
+            )
         *ap_pt, k_ac = _run_rap(
-            mesh, A_dist, (P_data, P_cols, P_nnz),
+            mesh, A_rap, (P_data, P_cols, P_nnz),
             int(k_ap), int(k_pt), max_c, ndev,
         )
         Ac_data, Ac_cols, Ac_nnz = _run_ac(
-            mesh, A_dist, ap_pt[:3], ap_pt[3:], ccounts, int(k_ac),
+            mesh, A_rap, ap_pt[:3], ap_pt[3:], ccounts, int(k_ac),
             max_c, ndev,
         )
 
@@ -632,6 +902,8 @@ def dist_build_hierarchy(
             A=A_dist, dinv=dinv, color=color, ncolors=ncolors,
             cheb_lmax=lmax, n=n_real, n_pad=n_pad,
             P=(P_data, P_cols, P_nnz), Pt=ap_pt[3:], max_c=max_c,
+            # Pt's columns index A_rap's (possibly widened) extended space
+            rap_halo=A_rap.halo,
         ))
 
         # ---- advance to the coarse level (host structure pass) ----
@@ -700,11 +972,12 @@ def dist_build_hierarchy(
                 rec["P"][0], np.asarray(rec["P"][1]), rec["P"][2], ndev,
                 rec["max_c"], rec["P"][0].shape[0], (rec["n"], nxt["n"]),
             )
-            # R rows are the owned coarse points; its columns are already
-            # this level's extended fine indices, so A's halo plan serves
+            # R rows are the owned coarse points; its columns index the
+            # RAP plan's extended fine space (== A's plan except under
+            # aggressive coarsening, where it is the widened plan)
             Rm = DistMatrix(
                 data=rec["Pt"][0], cols=rec["Pt"][1], row_nnz=rec["Pt"][2],
-                halo=rec["A"].halo, n_rows_local=rec["max_c"],
+                halo=rec["rap_halo"], n_rows_local=rec["max_c"],
                 K=rec["Pt"][0].shape[0], shape=(nxt["n"], rec["n"]),
             )
         else:

@@ -130,13 +130,20 @@ def distribute_matrix(E: EllMatrix, ndev: int, n_col_owned: int | None = None):
     )
 
 
-def plan_and_remap(cols: np.ndarray, nnz: np.ndarray, ndev: int, nc_own: int):
+def plan_and_remap(cols: np.ndarray, nnz: np.ndarray, ndev: int, nc_own: int,
+                   extra_ghosts=None):
     """Host structure pass shared by ``distribute_matrix`` and the
     distributed setup (parallel.dist_setup): from global ELL structure
     (``cols`` (K, n_rows), ``nnz`` (n_rows,), contiguous row blocks, column
     space owned ``nc_own`` per device) build the HaloPlan and the
     extended-vector column remap.  Values never pass through here — this is
     RAPtor-style comm-package construction, index bookkeeping only.
+
+    ``extra_ghosts``: optional per-device arrays of additional global
+    indices each device must receive beyond the matrix's own column
+    pattern — the distributed RAP of LONG-RANGE interpolation (multipass,
+    distance >= 2) needs fine rows outside the operator's distance-1 halo
+    (parallel.dist_setup._run_rap assembles owned coarse rows from them).
     """
     K, n_rows = cols.shape
     assert n_rows % ndev == 0
@@ -150,7 +157,11 @@ def plan_and_remap(cols: np.ndarray, nnz: np.ndarray, ndev: int, nc_own: int):
     ghosts = []
     for p in range(ndev):
         sel = mask & (shard_of_row == p) & (owner != p)
-        ghosts.append(np.unique(cols[sel]))
+        g = cols[sel]
+        if extra_ghosts is not None and len(extra_ghosts[p]):
+            e = np.asarray(extra_ghosts[p])
+            g = np.concatenate([g, e[e // nc_own != p]])
+        ghosts.append(np.unique(g))
     n_halo = max((g.size for g in ghosts), default=0)
     n_ext = nc_own + n_halo + 1  # +1 drop slot
 

@@ -254,3 +254,62 @@ def test_dist_classical_interp_matches_single():
     assert float(info.relres) <= 1e-8
     xn = np.asarray(x)[:n0]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+@pytest.mark.slow
+def test_dist_aggressive_setup_matches_single():
+    """Distributed aggressive coarsening (config 3's pipeline under
+    shard_map): the distance-2 MIS on G^2 is bit-identical to the
+    single-device aggressive_splitting, the multipass-interpolated coarse
+    operator agrees with the single-device build up to the block-padded
+    renumbering (fp64 trace fingerprint), and the dist-built hierarchy
+    solves the rotated anisotropic problem to 1e-8."""
+    from raptor_tpu.gallery import anisotropic_2d
+    from raptor_tpu.parallel.dist_setup import _run_split_aggressive
+    from raptor_tpu.parallel.partition import distribute_matrix
+    from raptor_tpu.setup.aggressive import aggressive_splitting
+
+    A = anisotropic_2d(32)  # n=1024
+    cfg = _cfg(theta=0.35, aggressive=True)
+    mesh = make_solve_mesh(NDEV)
+
+    # 1. bit-identical distance-2 splitting at the finest level
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=8 * NDEV)
+    smask = strength_mask(E, cfg.theta, cfg.strength)
+    cf_ref = np.asarray(aggressive_splitting(E, smask, cfg.seed))
+    A_dist = distribute_matrix(E, NDEV)
+    perm = make_perm(E.shape[0], E.n_rows_pad, cfg.seed)
+    cf, cc = _run_split_aggressive(
+        mesh, A_dist, np.asarray(E.data), np.asarray(E.cols),
+        np.asarray(E.row_nnz), perm, cfg, E.n_rows_pad, NDEV, E.shape[0])
+    assert np.array_equal(np.asarray(cf), cf_ref)
+    assert int(np.asarray(cc).sum()) == int(np.sum(cf_ref == C_PT))
+
+    # 2. hierarchy agreement: level sizes + fp64 trace of the level-1
+    # operator up to the block-padded coarse renumbering
+    dh = dist_build_hierarchy(A, cfg, mesh=mesh, tail_size=64,
+                              dtype=np.float64)
+    hier = build_hierarchy(E, cfg)
+    assert dh.levels[0].n == hier.levels[0].n
+    assert len(dh.levels) > 1, [lv.n for lv in dh.levels]
+    assert dh.levels[1].n == hier.levels[1].n
+    lv, lref = dh.levels[1], hier.levels[1]
+    d1, z1 = np.asarray(lv.A.data, np.float64), np.asarray(lv.A.row_nnz)
+    dr, zr = np.asarray(lref.A.data, np.float64), np.asarray(lref.A.row_nnz)
+    m1 = np.arange(d1.shape[0])[:, None] < z1[None, :]
+    mr = np.arange(dr.shape[0])[:, None] < zr[None, :]
+    npad1 = d1.shape[1] - lv.n
+    npadr = dr.shape[1] - lv.n
+    tr1 = np.sum(np.where(m1, d1, 0.0)) - npad1  # identity pads add 1 each
+    trr = np.sum(np.where(mr, dr, 0.0)) - npadr
+    assert np.isclose(tr1, trr, rtol=1e-9), (tr1, trr)
+
+    # 3. the dist-built aggressive hierarchy solves to 1e-8 (true fp64)
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=300)
+    assert float(info.relres) <= 1e-8
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
