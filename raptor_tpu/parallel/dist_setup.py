@@ -697,9 +697,12 @@ def _run_rap(mesh, A_dist: DistMatrix, p_arrs, k_ap: int, k_pt: int,
 
 
 def _run_ac(mesh, A_dist: DistMatrix, ap_arrs, pt_arrs, ccounts, k_ac: int,
-            max_c: int, ndev: int):
+            max_c: int, ndev: int, filter_tol: float = 0.0):
     """Owned coarse rows Ac = Pt @ AP_ext, identity-padded on the per-device
-    coarse padding (rank >= nc_dev) and dead rows."""
+    coarse padding (rank >= nc_dev) and dead rows.  ``filter_tol`` mirrors
+    ops.sparse_ops.ell_filter_fixed on the owned rows (row-local work; the
+    diagonal test uses the global coarse ids) — strength-of-connection
+    sparsification of the long-range multipass Galerkin products."""
     nc_glob = ndev * max_c
 
     def body(dm: DistMatrix, apd, apc, apn, ptd, ptc, ptn, cc):
@@ -719,6 +722,31 @@ def _run_ac(mesh, A_dist: DistMatrix, ap_arrs, pt_arrs, ccounts, k_ac: int,
         me = jax.lax.axis_index(AXIS).astype(jnp.int32)
         rank = jnp.arange(max_c, dtype=jnp.int32)
         gcol = me * max_c + rank
+
+        if filter_tol > 0:
+            from raptor_tpu.ops.sparse_ops import (
+                _fix_padding_cols, _merge_sorted_rows)
+
+            row_g = gcol[None, :]
+            off = (Ac.cols != row_g) & Ac.slot_mask()
+            mag = jnp.where(off, jnp.abs(Ac.data), 0)
+            row_max = jnp.max(mag, axis=0)
+            drop = off & (mag < filter_tol * row_max[None, :])
+            lump = jnp.sum(jnp.where(drop, Ac.data, 0), axis=0)
+            keep = Ac.slot_mask() & ~drop
+            sent = jnp.int32(nc_glob)
+            fcols = jnp.where(keep, Ac.cols, sent)
+            is_diag = keep & (Ac.cols == row_g)
+            fvals = jnp.where(
+                keep, Ac.data + jnp.where(is_diag, lump[None, :], 0), 0)
+            fcols, fvals = jax.lax.sort((fcols, fvals), dimension=0,
+                                        num_keys=1)
+            oc, ov, nnz2 = _merge_sorted_rows(fcols, fvals, sent, k_ac)
+            Ac = EllMatrix(
+                data=ov, cols=_fix_padding_cols(oc, nnz2, nc_glob),
+                row_nnz=nnz2, shape=Ac.shape,
+                n_rows_pad=Ac.n_rows_pad, n_cols_pad=nc_glob,
+            )
         hit = (Ac.cols == gcol[None, :]) & Ac.slot_mask()
         diag = jnp.sum(jnp.where(hit, Ac.data, 0), axis=0)
         padrow = (rank >= cc[0]) | (diag == 0)
@@ -802,10 +830,6 @@ def dist_build_hierarchy(
     if config.aggressive and config.splitting != "pmis":
         raise ValueError("distributed aggressive coarsening runs on the "
                          "PMIS engine (distance-2 MIS on G^2)")
-    if config.filter_tol > 0:
-        raise ValueError("coarse-operator filtering (filter_tol) is not "
-                         "mirrored in the distributed RAP yet; set "
-                         "filter_tol=0 for dist_build_hierarchy")
 
     if mesh is None:
         mesh = make_solve_mesh(ndev)
@@ -889,7 +913,7 @@ def dist_build_hierarchy(
         )
         Ac_data, Ac_cols, Ac_nnz = _run_ac(
             mesh, A_rap, ap_pt[:3], ap_pt[3:], ccounts, int(k_ac),
-            max_c, ndev,
+            max_c, ndev, filter_tol=config.filter_tol,
         )
 
         color, ncolors = (None, 1)

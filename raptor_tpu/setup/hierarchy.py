@@ -385,6 +385,10 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             R = ell_transpose(P)
             AP = spgemm(A, P)
             Ac = add_identity_padding(spgemm(R, AP), nc)
+            if config.filter_tol > 0:
+                # strength-of-connection sparsification of the long-range
+                # multipass Galerkin products (config 3)
+                Ac = ell_filter(Ac, config.filter_tol)
             dinv, color, ncolors, lmax = _smoother_data(A, config, smask)
             levels.append(
                 Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,

@@ -270,7 +270,9 @@ def test_dist_aggressive_setup_matches_single():
     from raptor_tpu.setup.aggressive import aggressive_splitting
 
     A = anisotropic_2d(32)  # n=1024
-    cfg = _cfg(theta=0.35, aggressive=True)
+    # the full config-3 pipeline incl. coarse-operator filtering (mirrored
+    # row-locally in the distributed RAP)
+    cfg = _cfg(theta=0.35, aggressive=True, filter_tol=0.05)
     mesh = make_solve_mesh(NDEV)
 
     # 1. bit-identical distance-2 splitting at the finest level
@@ -303,6 +305,10 @@ def test_dist_aggressive_setup_matches_single():
     tr1 = np.sum(np.where(m1, d1, 0.0)) - npad1  # identity pads add 1 each
     trr = np.sum(np.where(mr, dr, 0.0)) - npadr
     assert np.isclose(tr1, trr, rtol=1e-9), (tr1, trr)
+    # the entry sum is blind to filtering (dropped entries lump into the
+    # diagonal); the nnz totals are not — they certify the filter mirrored
+    assert int(z1.sum()) - npad1 == int(zr.sum()) - npadr, \
+        (int(z1.sum()) - npad1, int(zr.sum()) - npadr)
 
     # 3. the dist-built aggressive hierarchy solves to 1e-8 (true fp64)
     b = default_rhs(A.shape[0], dtype=np.float64)
