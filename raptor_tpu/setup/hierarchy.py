@@ -328,7 +328,11 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
     of the input (the banded path passes its RCM permutation here —
     VERDICT r2 weak #4).  Tracked through the levels via the per-level cf.
     """
+    A_in = None
     if not isinstance(A, EllMatrix):
+        # keep the original for attach_residual_lo (honest fp64-operator
+        # certification in the refined solve)
+        A_in = A
         # host-side arrays: the host setup tail reads them for free, and a
         # device push before host work would cost a pull straight back
         # (~16s/array on remote-tunnel backends); stage_hierarchy uploads
@@ -345,12 +349,13 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         if (
             n <= config.host_setup_threshold
             and config.splitting in ("rs", "pmis")
-            and config.interp == "direct"
-            and not config.aggressive
+            and (config.interp == "direct" or config.aggressive)
         ):
             from raptor_tpu.setup.host_setup import host_build_tail
 
             hier = host_build_tail(A, levels, config, dtype, row_ids=ids)
+            if A_in is not None:
+                hier = attach_residual_lo(hier, A_in)
             return stage_hierarchy(hier) if stage else hier
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
             perm = (make_perm_ids(ids, A.n_rows_pad,
@@ -437,6 +442,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
     )
     inv = _dense_inverse(A)
     hier = Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
+    if A_in is not None:
+        hier = attach_residual_lo(hier, A_in)
     return stage_hierarchy(hier) if stage else hier
 
 

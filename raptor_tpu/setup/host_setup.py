@@ -24,7 +24,13 @@ import numpy as np
 
 from raptor_tpu.config import AmgConfig
 from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_rows
-from raptor_tpu.setup.splitting import C_PT, F_PT, UNDECIDED, rs_splitting_host
+from raptor_tpu.setup.splitting import (
+    C_PT,
+    F_PT,
+    UNDECIDED,
+    make_perm_np,
+    rs_splitting_host,
+)
 
 __all__ = ["host_build_tail", "np_strength_mask", "np_pmis_splitting",
            "np_direct_interpolation"]
@@ -207,6 +213,69 @@ def np_direct_interpolation(data, cols, nnz, smask, cf):
     return P_data, P_cols, P_nnz, nc
 
 
+def _np_aggressive_cf(colsA, smask, n: int, n_pad: int, seed: int):
+    """NumPy mirror of setup.aggressive.aggressive_splitting: distance-2
+    PMIS — the MIS runs on offdiag(G @ G), G = strength + I, with the same
+    exact integer weights (host_aggregation._np_pmis_edges), so the C/F
+    sets are bit-identical to the device path."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.setup.host_aggregation import _np_pmis_edges
+
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], colsA.shape)
+    G = sp.csr_matrix(
+        (np.ones(int(smask.sum()) + n_pad, np.float32),
+         (np.r_[rows[smask], np.arange(n_pad)],
+          np.r_[colsA[smask], np.arange(n_pad)])),
+        shape=(n_pad, n_pad))
+    G2 = (G @ G).tocoo()
+    off = G2.row != G2.col
+    perm = make_perm_np(n, n_pad, seed)
+    return _np_pmis_edges(G2.row[off], G2.col[off], n_pad, perm)
+
+
+def _np_multipass(data, colsA, nnz, smask, cf, n: int, max_passes: int = 4):
+    """NumPy mirror of setup.aggressive.multipass_interpolation: pass 0 is
+    direct interpolation on rows with a strong C neighbor; each later pass
+    interpolates still-empty F rows through already-interpolated strong
+    neighbors.  Returns (P csr over the PADDED rows, nc)."""
+    import scipy.sparse as sp
+
+    K, n_pad = data.shape
+    Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask, cf)
+    if nc == 0:
+        return None, 0
+    P = _ell_np_to_coo(Pd, Pc, Pn, n_pad, nc).tocsr()
+
+    lane = np.arange(n_pad)
+    k = np.arange(K)[:, None]
+    slot = k < nnz[None, :]
+    off = (colsA != lane[None, :]) & slot
+    diag = np.where((colsA == lane[None, :]) & slot, data, 0).sum(axis=0)
+    row_sum = np.where(off, data, 0).sum(axis=0)
+    is_real_f = (cf == F_PT) & (lane < n)
+    for _ in range(max_passes):
+        done = np.diff(P.indptr) > 0
+        todo = is_real_f & ~done
+        if not todo.any():
+            break
+        usable = smask & done[colsA]
+        active = todo & usable.any(axis=0)
+        if not active.any():
+            break
+        wmask = usable & active[None, :]
+        used_sum = np.where(wmask, data, 0).sum(axis=0)
+        dtil = diag + (row_sum - used_sum)
+        dtil = np.where(dtil != 0, dtil, 1.0)
+        rows_w = np.broadcast_to(lane[None, :], colsA.shape)
+        W = sp.csr_matrix(
+            (data[wmask], (rows_w[wmask], colsA[wmask])),
+            shape=(n_pad, n_pad))
+        U = sp.diags(np.where(active, -1.0 / dtil, 0.0)) @ (W @ P)
+        P = (P + U).tocsr()  # active rows were empty: addition = set
+    return P, nc
+
+
 def _np_filter_csr(Ac, tol: float):
     """SciPy mirror of ops.sparse_ops.ell_filter: drop off-diagonal entries
     with |a_ij| < tol * max_offdiag|a_ik| and lump them into the diagonal."""
@@ -285,7 +354,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     out = []  # host-level tuples
     n = A.shape[0]
     while len(levels) + len(out) + 1 < config.max_levels and n > config.coarse_size:
-        if config.interp != "direct":
+        if config.interp != "direct" and not config.aggressive:
             raise ValueError(
                 "host setup tail implements direct interpolation only; "
                 "set host_setup_threshold=0 for other interp kinds")
@@ -295,25 +364,33 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
         A = dataclasses.replace(A, data=data, cols=colsA, row_nnz=nnz)
         n_pad = A.n_rows_pad
         smask = np_strength_mask(data, colsA, nnz, config.theta, config.strength)
-        if config.splitting == "rs":
-            import scipy.sparse as sp
-
-            rows = np.broadcast_to(np.arange(n_pad)[None, :], smask.shape)
-            S = sp.coo_matrix(
-                (np.ones(int(smask.sum())), (rows[smask], colsA[smask])),
-                shape=(n_pad, n_pad)).tocsr()
-            cf = rs_splitting_host(S).astype(np.int32)
-        else:  # pmis (guarded by build_hierarchy)
+        P_pad_csr = None
+        if config.aggressive:
             seed = config.seed + len(levels) + len(out)
-            perm = (make_perm_ids_np(ids, n_pad, seed) if ids is not None
-                    else make_perm_np(n, n_pad, seed))
-            cf = np_pmis_splitting(colsA, smask, perm, n_pad)
-        Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask, cf)
+            cf = _np_aggressive_cf(colsA, smask, n, n_pad, seed)
+            P_pad_csr, nc = _np_multipass(data, colsA, nnz, smask, cf, n)
+        else:
+            if config.splitting == "rs":
+                import scipy.sparse as sp
+
+                rows = np.broadcast_to(np.arange(n_pad)[None, :], smask.shape)
+                S = sp.coo_matrix(
+                    (np.ones(int(smask.sum())), (rows[smask], colsA[smask])),
+                    shape=(n_pad, n_pad)).tocsr()
+                cf = rs_splitting_host(S).astype(np.int32)
+            else:  # pmis (guarded by build_hierarchy)
+                seed = config.seed + len(levels) + len(out)
+                perm = (make_perm_ids_np(ids, n_pad, seed) if ids is not None
+                        else make_perm_np(n, n_pad, seed))
+                cf = np_pmis_splitting(colsA, smask, perm, n_pad)
+            Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask,
+                                                     cf)
         if nc == 0 or nc >= n:
             break
         if ids is not None:
             ids = ids[cf[:n] == C_PT]
-        P_csr = _ell_np_to_coo(Pd, Pc, Pn, n, nc).tocsr()
+        P_csr = (P_pad_csr[:n].tocsr() if P_pad_csr is not None
+                 else _ell_np_to_coo(Pd, Pc, Pn, n, nc).tocsr())
         A_csr = _ell_np_to_coo(data, colsA, nnz, n, n).tocsr()
         R_csr = P_csr.T.tocsr()
         Ac_csr = (R_csr @ (A_csr @ P_csr)).tocsr()
@@ -336,9 +413,17 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
 
         dinv, color, ncolors, lmax = _host_level_aux(A, data, colsA, nnz, config)
         nc_pad = pad_rows(nc, config.pad_multiple)
-        P = EllMatrix(
-            data=Pd, cols=Pc, row_nnz=np.where(np.arange(n_pad) < n, Pn, 0),
-            shape=(n, nc), n_rows_pad=n_pad, n_cols_pad=nc_pad)
+        if P_pad_csr is not None:
+            P = dataclasses.replace(
+                ell_from_csr(P_csr, dtype=dtype, row_pad_multiple=n_pad,
+                             n_cols_pad=nc_pad, identity_pad_rows=False,
+                             device=False),
+                shape=(n, nc))
+        else:
+            P = EllMatrix(
+                data=Pd, cols=Pc,
+                row_nnz=np.where(np.arange(n_pad) < n, Pn, 0),
+                shape=(n, nc), n_rows_pad=n_pad, n_cols_pad=nc_pad)
         from raptor_tpu.setup.hierarchy import _bucket8
 
         R = _pad_K(ell_from_csr(R_csr, dtype=dtype,
