@@ -54,7 +54,7 @@ AXIS = "x"
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "Pmat", "Rmat", "dinv", "color", "cheb_lmax", "Aband",
-                 "Pband", "Rband"],
+                 "Pband", "Rband", "binv"],
     meta_fields=["n_local", "ncolors", "n"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +79,10 @@ class DistLevel:
     # are sharded — the proportional window means one-neighbor page halos
     Pband: Optional[object] = None
     Rband: Optional[object] = None
+    # block-diagonal inverses (nb, b, b) for block smoothers (SA/elasticity,
+    # BASELINE.json:10): row-local, sharded with the block rows; the
+    # operator apply stays the scalar dist SpMV
+    binv: Optional[jax.Array] = None
 
 
 @partial(
@@ -160,6 +164,7 @@ def _lvl_spec(lv: DistLevel) -> DistLevel:
         Aband=_band_spec(lv.Aband),
         Pband=_rect_spec(lv.Pband),
         Rband=_rect_spec(lv.Rband),
+        binv=None if lv.binv is None else P(AXIS, None, None),
     )
 
 
@@ -211,6 +216,11 @@ def distribute_hierarchy(
                                  nf_pad, nc_pad)
         else:
             R_d = P_d = None
+        binv = None
+        if (lev.binv is not None
+                and lev.binv.shape[0] % ndev == 0
+                and (lev.A.n_rows_pad // ndev) % lev.binv.shape[-1] == 0):
+            binv = lev.binv  # block rows shard with the dof rows
         dlevels.append(
             DistLevel(
                 A=A_d, dinv=lev.dinv, Pmat=P_d, Rmat=R_d, color=lev.color,
@@ -218,7 +228,7 @@ def distribute_hierarchy(
                 n_local=lev.A.n_rows_pad // ndev,
                 ncolors=lev.ncolors, n=lev.n,
                 Aband=_shardable_band(lev.Aband, ndev),
-                Pband=Pb, Rband=Rb,
+                Pband=Pb, Rband=Rb, binv=binv,
             )
         )
     bridge = hier.levels[t - 1]
@@ -446,15 +456,36 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
                 p = z + beta * p
             x = x + alpha * p
         return x
-    if smoother == "cheb4":  # 4th-kind Chebyshev, mirrors smoothers.chebyshev4
+    if smoother in ("cheb4", "block_cheb", "block_jacobi"):
+        # block smoothers (SA/elasticity, BASELINE.json:10): the block-diag
+        # preconditioner is row-local (lev.binv shards with the rows), the
+        # operator apply is the ordinary dist SpMV — no extra communication.
+        # Levels without a block layout fall back to the scalar diagonal,
+        # mirroring solve/cycle._smooth.
+        if lev.binv is not None:
+            bs = lev.binv.shape[-1]
+
+            def prec(r):
+                rb = r.reshape(-1, bs)
+                return jnp.einsum("nij,nj->ni", lev.binv, rb).reshape(-1)
+        else:
+            def prec(r):
+                return lev.dinv * r
+
+        if smoother == "block_jacobi":
+            for _ in range(sweeps):
+                x = x + cfg.omega * prec(b - sp(x))
+            return x
+        # cheb4 / block_cheb: 4th-kind Chebyshev on the (block-)normalized
+        # spectrum, mirrors smoothers.chebyshev4 / bell.block_chebyshev4
         r = b - sp(x)
-        d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
+        d = (4.0 / 3.0) / lev.cheb_lmax * prec(r)
         x = x + d
         for k in range(2, cfg.cheb_degree + 1):
             r = r - sp(d)
             d = ((2 * k - 3) / (2 * k + 1)) * d + (
                 (8 * k - 4) / (2 * k + 1) / lev.cheb_lmax
-            ) * (lev.dinv * r)
+            ) * prec(r)
             x = x + d
         return x
     raise ValueError(f"unknown smoother: {smoother}")

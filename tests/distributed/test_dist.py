@@ -177,3 +177,34 @@ def test_dist_feature_matrix_matches_single(smoother, cycle):
     assert int(info.iterations) == int(info_ref.iterations)
     assert float(info.relres) <= 1e-8
     assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_dist_solve_config4_block_smoother():
+    """A config-4 (SA elasticity, block_cheb) hierarchy distributes and
+    solves under shard_map with the SHARDED block-diagonal preconditioner
+    (DistLevel.binv — row-local, no extra communication), matching the
+    single-device iteration count."""
+    from raptor_tpu.api import solve
+    from raptor_tpu.config import SolveConfig
+    from raptor_tpu.gallery import elasticity_3d
+    from raptor_tpu.setup.aggregation import build_sa_hierarchy
+
+    A, B, _ = elasticity_3d(8)
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="block_cheb", num_candidates=6, theta=0.08,
+                    pad_multiple=8 * NDEV, coarse_size=64, tail_max_n=0)
+    hier = build_sa_hierarchy(A, cfg, B=B, dtype=np.float64)
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    x0, i0 = solve(A, b, cfg, SolveConfig(dtype="float64", tol=1e-8,
+                                          maxiter=200), hier=hier)
+
+    mesh = make_solve_mesh(NDEV)
+    dh = distribute_hierarchy(hier, NDEV, tail_size=200)
+    assert dh.levels[0].binv is not None  # block layout survives sharding
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=200)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+    assert abs(int(info.iterations) - int(i0["iterations"])) <= 2
