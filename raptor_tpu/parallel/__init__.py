@@ -12,6 +12,8 @@ from raptor_tpu.parallel.dist import (
     dist_solve,
     make_solve_mesh,
 )
+from raptor_tpu.parallel.dist_sa import dist_build_sa_hierarchy
+from raptor_tpu.parallel.dist_setup import dist_build_hierarchy
 from raptor_tpu.parallel.dist_taps import (
     TapsDistHierarchy,
     distribute_hierarchy_taps,
@@ -20,6 +22,8 @@ from raptor_tpu.parallel.dist_taps import (
 )
 
 __all__ = [
+    "dist_build_hierarchy",
+    "dist_build_sa_hierarchy",
     "TapsDistHierarchy",
     "distribute_hierarchy_taps",
     "dist_solve_taps",

@@ -340,13 +340,15 @@ def _block_layout(A: EllMatrix, config: AmgConfig, bs: int, lmax_s):
     return Abell, binv, lmax_s
 
 
-def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
+def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None,
+                       block_size: int | None = None):
     """Smoothed-aggregation hierarchy (config 4, BASELINE.json:10).
 
     ``B``: (n, nc) near-nullspace candidates (rigid body modes for
     elasticity); defaults to the constant vector.  ``config.num_candidates``
     caps how many are used; block size is inferred as 3 when nc >= 3 and the
-    size divides by 3 (elasticity convention) else 1.
+    size divides by 3 (elasticity convention) else 1 — pass ``block_size``
+    to override (e.g. a Galerkin coarse operator whose natural block is nc).
     """
     from raptor_tpu.core.ell import ell_from_csr
     from raptor_tpu.setup.hierarchy import Hierarchy, Level, _dense_inverse, _smoother_data
@@ -365,12 +367,13 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None):
         from raptor_tpu.setup.host_aggregation import host_build_sa_hierarchy
 
         return attach_residual_lo(
-            host_build_sa_hierarchy(A, config, dtype=dtype, B=B), A)
+            host_build_sa_hierarchy(A, config, dtype=dtype, B=B,
+                                    block_size=block_size), A)
     if B is None:
         B = np.ones((n_in, 1), dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)[:, : config.num_candidates]
     nc = B.shape[1]
-    bs = 3 if (nc >= 3 and n_in % 3 == 0) else 1
+    bs = block_size or (3 if (nc >= 3 and n_in % 3 == 0) else 1)
     A_in = None if isinstance(A, EllMatrix) else A
     if not isinstance(A, EllMatrix):
         # padded size must divide by both pad_multiple and the block size

@@ -290,7 +290,8 @@ def _np_level_aux(A_ell: EllMatrix, config: AmgConfig):
 # the host SA level loop
 # ---------------------------------------------------------------------------
 
-def host_build_sa_hierarchy(A, config: AmgConfig, dtype=np.float32, B=None):
+def host_build_sa_hierarchy(A, config: AmgConfig, dtype=np.float32, B=None,
+                            block_size: int | None = None):
     """build_sa_hierarchy, entirely in NumPy/SciPy: scipy input -> Hierarchy
     with every leaf uploaded exactly once (stage_hierarchy).  Dispatched by
     setup.aggregation.build_sa_hierarchy for n <= host_setup_threshold."""
@@ -306,7 +307,7 @@ def host_build_sa_hierarchy(A, config: AmgConfig, dtype=np.float32, B=None):
         B = np.ones((n, 1), dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)[:, : config.num_candidates]
     nc = B.shape[1]
-    bs = 3 if (nc >= 3 and n % 3 == 0) else 1
+    bs = block_size or (3 if (nc >= 3 and n % 3 == 0) else 1)
     mult = config.pad_multiple * bs // np.gcd(config.pad_multiple, bs)
 
     A_ell = ell_from_csr(sp.csr_matrix(A), dtype=dtype,

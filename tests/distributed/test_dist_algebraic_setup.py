@@ -319,3 +319,56 @@ def test_dist_aggressive_setup_matches_single():
     assert float(info.relres) <= 1e-8
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+@pytest.mark.slow
+def test_dist_sa_setup_matches_single():
+    """Distributed smoothed-aggregation setup (config 4's pipeline under
+    shard_map): aggregation decisions are the same exact-integer-weight
+    host pass as the single-device SA, the batched tentative QR /
+    prolongator smoothing / RAP run sharded, and the coarse operator
+    agrees with the single-device build up to the block-padded
+    renumbering (fp64 entry-sum fingerprint).  The dist-built hierarchy
+    solves elasticity with the single-device iteration count."""
+    from raptor_tpu.gallery import elasticity_3d
+    from raptor_tpu.parallel.dist_sa import dist_build_sa_hierarchy
+    from raptor_tpu.setup.aggregation import build_sa_hierarchy
+
+    A, B, _ = elasticity_3d(8)  # n=1344
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="block_cheb", num_candidates=6, theta=0.08,
+                    pad_multiple=8 * NDEV, coarse_size=64, tail_max_n=0)
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_sa_hierarchy(A, cfg, B=B, mesh=mesh, tail_size=256,
+                                 dtype=np.float64)
+    hier = build_sa_hierarchy(A, cfg, B=B, dtype=np.float64)
+
+    assert dh.levels[0].n == hier.levels[0].n
+    assert dh.levels[0].binv is not None  # block smoother data sharded
+    # coarse-operator fingerprint: sum of true entries (identity pads
+    # contribute exactly 1.0 each on both sides)
+    lt = dh.tail.levels[0]
+    lr = hier.levels[1]
+    dt, zt = np.asarray(lt.A.data, np.float64), np.asarray(lt.A.row_nnz)
+    dr, zr = np.asarray(lr.A.data, np.float64), np.asarray(lr.A.row_nnz)
+    mt = np.arange(dt.shape[0])[:, None] < zt[None, :]
+    mr = np.arange(dr.shape[0])[:, None] < zr[None, :]
+    n_true = lr.n
+    st = np.sum(np.where(mt, dt, 0.0)) - (dt.shape[1] - n_true)
+    sr = np.sum(np.where(mr, dr, 0.0)) - (dr.shape[1] - n_true)
+    assert np.isclose(st, sr, rtol=1e-9), (st, sr)
+
+    # solves with the single-device iteration count
+    from raptor_tpu.api import solve
+    from raptor_tpu.config import SolveConfig
+
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    x0, i0 = solve(A, b, cfg, SolveConfig(dtype="float64", tol=1e-8,
+                                          maxiter=200), hier=hier)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=200)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+    assert abs(int(info.iterations) - int(i0["iterations"])) <= 2
