@@ -177,9 +177,15 @@ def algebraic_setup_detail() -> dict:
     bd = pad_vector(bp.astype(np.float32), hb.levels[0].A.n_rows_pad)
     bdl = pad_vector((bp - bp.astype(np.float32).astype(np.float64))
                      .astype(np.float32), hb.levels[0].A.n_rows_pad)
-    _jax.block_until_ready(solve_hier_refined(hb, bd, tol=1e-8, b_lo=bdl))
+    # maxiter must match SolveConfig's so this traces the SAME program the
+    # api.solve calls above compiled — a new static-arg variant is another
+    # executable load, and the remote backend errors (INVALID_ARGUMENT)
+    # once too many programs accumulate in one process
+    mi = SolveConfig().maxiter
+    _jax.block_until_ready(
+        solve_hier_refined(hb, bd, tol=1e-8, maxiter=mi, b_lo=bdl))
     t0 = _t.perf_counter()
-    out_dev = solve_hier_refined(hb, bd, tol=1e-8, b_lo=bdl)
+    out_dev = solve_hier_refined(hb, bd, tol=1e-8, maxiter=mi, b_lo=bdl)
     _jax.block_until_ready(out_dev)
     solve_dev = _t.perf_counter() - t0
     out = {
