@@ -27,8 +27,9 @@ coarsening in parallel/dist_setup.py):
 Aggregate ownership: an aggregate lives on the device owning its smallest
 member node; coarse dofs use the block-padded global numbering
 ``device * (max_agg * nc) + rank`` shared with the rest of the distributed
-setup.  SA's strong coarsening (20-50x) typically leaves one sharded level
-before the replicated tail.
+setup.  Coarse levels stay sharded until they drop under ``tail_size``
+(the decision pass compacts the block-padded numbering host-side); SA's
+strong coarsening (20-50x) usually makes that one or two levels.
 """
 
 from __future__ import annotations
@@ -72,11 +73,15 @@ from raptor_tpu.setup.hierarchy import Hierarchy
 __all__ = ["dist_build_sa_hierarchy"]
 
 
-def _host_aggregate(data_np, cols_np, nnz_np, n_real, n_pad, bs, cfg,
+def _host_aggregate(data_np, cols_np, nnz_np, real_nodal, n_pad, bs, cfg,
                     seed):
     """Host decision pass: nodal condense + SA strength + distance-2 MIS +
     capped assignment (setup/host_aggregation internals — bit-identical
-    aggregates).  Returns (agg (nn_pad,) int32, n_agg)."""
+    aggregates).  ``real_nodal`` (nn_pad,) masks the true nodal lanes: on
+    coarse levels the block-padded numbering scatters per-device identity
+    pads through the lane space, so the decision pass runs on the
+    compacted real submatrix and scatters the ids back.  Returns
+    ((agg (nn_pad,) int32, n_agg), n_nodal, nn_pad)."""
     import scipy.sparse as sp
 
     from raptor_tpu.setup.aggregation import AGG_SIZE_CAP
@@ -93,11 +98,16 @@ def _host_aggregate(data_np, cols_np, nnz_np, n_real, n_pad, bs, cfg,
         absA = A_csr.copy()
         absA.data = np.abs(absA.data)
         C = (S.T @ absA @ S).tocsr()
-        n_nodal = n_real // bs
     else:
-        C, nn_pad, n_nodal = A_csr, n_pad, n_real
-    return _np_aggregate(C, n_nodal, nn_pad, cfg.theta, seed,
-                         AGG_SIZE_CAP), n_nodal, nn_pad
+        C, nn_pad = A_csr, n_pad
+    r = np.flatnonzero(real_nodal)
+    n_nodal = int(r.size)
+    C_comp = C[r][:, r].tocsr()
+    agg_c, n_agg = _np_aggregate(C_comp, n_nodal, n_nodal, cfg.theta, seed,
+                                 AGG_SIZE_CAP)
+    agg = np.full(nn_pad, -1, np.int32)
+    agg[r] = agg_c
+    return (agg, n_agg), n_nodal, nn_pad
 
 
 def dist_build_sa_hierarchy(
@@ -144,19 +154,16 @@ def dist_build_sa_hierarchy(
     Bd[:, :n_real] = B.T
     B_sh = jnp.asarray(Bd.astype(dtype))  # (nc, n_pad), sharded on axis 1
 
+    # realness of the nodal lanes: contiguous at the fine level, per-device
+    # blocks (first cc aggregates of each max_agg block) after coarsening
+    real_nodal = np.arange(n_pad // bs) < (n_in // bs)
     records = []
     while True:
         if n_real <= tail_size or len(records) + 2 >= config.max_levels:
             break
-        if records:
-            # one sharded level per build: SA coarsens 20-50x, so the next
-            # level is tail-sized for any practical tail_size; the host
-            # decision pass assumes contiguous real rows, which the
-            # block-padded coarse numbering would break
-            break
         seed = config.seed + len(records)
         (agg, n_agg), n_nodal, nn_pad = _host_aggregate(
-            data_np, cols_np, nnz_np, n_real, n_pad, bs, config, seed)
+            data_np, cols_np, nnz_np, real_nodal, n_pad, bs, config, seed)
         if n_agg == 0 or n_agg * nc >= 0.7 * n_real:
             break
 
@@ -272,6 +279,10 @@ def dist_build_sa_hierarchy(
         cols_np = ac_cols_np
         n_real, n_pad, bs = nc_real, nc_glob, nc
         B_sh = jnp.transpose(Bc_sh)  # (nc, nc_glob): next level candidates
+        # coarse nodal lanes (block size nc): per device, the first
+        # cc_agg[p] aggregates of its max_agg block are real
+        real_nodal = (np.arange(ndev * max_agg) % max_agg
+                      < cc_agg[np.arange(ndev * max_agg) // max_agg])
 
     if not records:
         raise ValueError(
