@@ -372,3 +372,30 @@ def test_dist_sa_setup_matches_single():
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
     assert abs(int(info.iterations) - int(i0["iterations"])) <= 2
+
+
+@pytest.mark.slow
+def test_dist_sa_multilevel():
+    """Two SHARDED SA levels (the host decision pass compacts the
+    block-padded coarse numbering): builds, keeps block smoother data on
+    both levels, and solves elasticity to a true 1e-8."""
+    from raptor_tpu.gallery import elasticity_3d
+    from raptor_tpu.parallel.dist_sa import dist_build_sa_hierarchy
+
+    A, B, _ = elasticity_3d(12)  # n=4752
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="block_cheb", num_candidates=6, theta=0.08,
+                    pad_multiple=8 * NDEV, coarse_size=32, tail_max_n=0)
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_sa_hierarchy(A, cfg, B=B, mesh=mesh, tail_size=100,
+                                 dtype=np.float64)
+    assert len(dh.levels) == 2, [lv.n for lv in dh.levels]
+    assert all(lv.binv is not None for lv in dh.levels)
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=300)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+    assert int(info.iterations) <= 20
