@@ -175,7 +175,7 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     ))
 
 
-@partial(jax.jit, static_argnames=("maxiter", "outer"))
+@partial(jax.jit, static_argnames=("maxiter", "outer", "krylov"))
 def solve_hier_refined(
     hier: Hierarchy,
     b: jax.Array,
@@ -183,6 +183,7 @@ def solve_hier_refined(
     maxiter: int = 100,
     outer: int = 8,
     b_lo: jax.Array | None = None,
+    krylov: str = "cg",
 ):
     """Solve to a TRUE <=tol relative residual entirely on device: fp32
     AMG-PCG inner solves inside compensated-double-float32 iterative
@@ -237,10 +238,12 @@ def solve_hier_refined(
         xh, xl, rh, rl, relres, it, k = s
         return (k < outer) & (relres > tol)
 
+    inner = pcg if krylov == "cg" else bicgstab
+
     def body(s):
         xh, xl, rh, rl, relres, it, k = s
         inner_tol = jnp.clip(tol / jnp.maximum(relres, 1e-30), 1e-5, 0.9)
-        e, info = pcg(apply_A, rh, apply_M, tol=inner_tol, maxiter=maxiter)
+        e, info = inner(apply_A, rh, apply_M, tol=inner_tol, maxiter=maxiter)
         xh, xl = df_add(xh, xl, e, jnp.zeros_like(e))
         rh, rl = residual(xh, xl, bh, bl)
         relres = jnp.sqrt(jnp.vdot(rh, rh)) / bnorm
@@ -359,7 +362,8 @@ def solve(
         )
         return _finish(x, info, n, hier, pm)
 
-    if solve_config.refine_device and solve_config.krylov == "cg":
+    if solve_config.refine_device and solve_config.krylov in ("cg",
+                                                              "bicgstab"):
         # fully on-device refinement with compensated-fp32 residuals;
         # b enters as an exact df64 pair so fp64 inputs are certified
         # against the UNROUNDED right-hand side
@@ -369,7 +373,7 @@ def solve(
         bdl = pad_vector(b_lo, A0.n_rows_pad)
         (xh, xl), relres, iters = solve_hier_refined(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
-            b_lo=bdl,
+            b_lo=bdl, krylov=solve_config.krylov,
         )
         # one batched fetch: each host sync is a full round trip on
         # remote-tunnel backends, so pull all four results together

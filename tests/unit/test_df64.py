@@ -142,3 +142,22 @@ def test_df64_exact_inside_fused_chain_with_gathers():
         ref -= d64[k] * xx[np.asarray(cols[k])]
     got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
     assert np.abs(got - ref).max() < 1e-10, np.abs(got - ref).max()
+
+
+def test_bicgstab_device_refinement():
+    """solve() with refine_device + krylov='bicgstab' runs the whole
+    refinement on device (BiCGStab inner solves) and certifies the true
+    fp64 residual — previously only the CG inner was on-device."""
+    from raptor_tpu import solve, AmgConfig, SolveConfig
+    from raptor_tpu.gallery import poisson_2d, default_rhs
+
+    A = poisson_2d(32)
+    b = default_rhs(A.shape[0])
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis", smoother="jacobi"),
+        SolveConfig(dtype="float32", refine=True, refine_device=True,
+                    krylov="bicgstab"),
+    )
+    tr = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert info["relres"] <= 1e-8
+    assert tr <= 2e-8, tr
