@@ -399,3 +399,26 @@ def test_dist_sa_multilevel():
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
     assert int(info.iterations) <= 20
+
+
+def test_dist_sa_scalar():
+    """Scalar (bs=1, single-candidate) distributed SA: the block machinery
+    degenerates cleanly and the hierarchy solves Poisson to 1e-8."""
+    from raptor_tpu.gallery import poisson_2d
+    from raptor_tpu.parallel.dist_sa import dist_build_sa_hierarchy
+
+    A = poisson_2d(32)
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="cheb4", num_candidates=1,
+                    pad_multiple=8 * NDEV, coarse_size=32, tail_max_n=0)
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_sa_hierarchy(A, cfg, mesh=mesh, tail_size=100,
+                                 dtype=np.float64)
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+    assert int(info.iterations) <= 15
