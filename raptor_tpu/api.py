@@ -207,6 +207,12 @@ def solve_hier_refined(
         return cycle(hier, r)
 
     lo = hier.a0_lo
+    band = lev0.Aband
+    # fused-kernel residual (ops/pallas/banded_kernel): one pass reading xh
+    # once per tile through the paged vreg gather, vs K full-vector HBM
+    # gathers + ~4K elementwise passes for the jnp.take chain below
+    use_band_resid = band is not None and (
+        lo is None or hier.a0_lo_band is not None)
 
     def residual(xh, xl, bh, bl):
         # A @ x_lo needs only fp32 accuracy (x_lo ~ 2^-24 x_hi, so its
@@ -214,6 +220,10 @@ def solve_hier_refined(
         # instead of a second full-vector gather per slot in the
         # compensated chain — halves the residual's gather traffic
         v = apply_A(xl)
+        if use_band_resid:
+            from raptor_tpu.core.hybrid import banded_df64_residual
+
+            return banded_df64_residual(band, hier.a0_lo_band, xh, bh, bl, v)
         rh, rl = df_add(bh, bl, -v, jnp.zeros_like(v))
         for k in range(A.K):
             gh = jnp.take(xh, A.cols[k], axis=0)

@@ -339,6 +339,24 @@ def banded_spmv_ro(B: BandedMatrix, xr: jax.Array,
     return banded_spmv_ref(B.plan(), xr)
 
 
+def banded_df64_residual(B: BandedMatrix, lo_blk, xh, bh, bl, v,
+                         interpret: bool | None = None):
+    """(rh, rl) = df64[(bh, bl) - v - A@xh] in the reordered space through
+    the fused compensated-residual kernel (ops/pallas/banded_kernel);
+    ``lo_blk`` is the optional blocked fp32 truncation remainder of the
+    operator data (setup/hierarchy.attach_residual_lo)."""
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        banded_df64_residual_pallas,
+        banded_df64_residual_ref,
+    )
+
+    use_kernel = bool(interpret) or jax.default_backend() == "tpu"
+    if use_kernel:
+        return banded_df64_residual_pallas(B.plan(), lo_blk, xh, bh, bl, v,
+                                           interpret=bool(interpret))
+    return banded_df64_residual_ref(B.plan(), lo_blk, xh, bh, bl, v)
+
+
 def banded_spmv(B: BandedMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x in the ORIGINAL ordering (permutation applied inside)."""
     return jnp.take(banded_spmv_ro(B, jnp.take(x, B.perm, axis=0)),

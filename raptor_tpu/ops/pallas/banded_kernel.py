@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["banded_plan", "banded_spmv_pallas", "banded_spmv_ref",
+           "banded_df64_residual_pallas", "banded_df64_residual_ref",
            "BandedPlanError"]
 
 LANE = 128
@@ -224,6 +225,142 @@ def banded_ref_padded(plan: dict, x_pad):
             f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
             y = y.at[t].add(plan["vals"][t, k] * win[f])
     return y.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Fused df64 compensated residual on the banded layout: one kernel computes
+# (rh, rl) = df64[ (bh, bl) - v - A @ xh ] with the Dekker two_prod error
+# term (and optionally the operator's own fp32 truncation remainder
+# A_lo * xh, setup/hierarchy.attach_residual_lo) folded into the
+# compensation.  Replaces solve_hier_refined's per-slot jnp.take chain —
+# K full-vector HBM gathers plus ~4K elementwise passes per refinement
+# round — with a single pass that reads xh once per tile through the same
+# paged vreg gather as the SpMV.  ``v`` carries the fp32 A @ x_lo term
+# (one ordinary banded apply; its rounding sits ~2^-48 below the residual).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
+                                   "interpret"))
+def _banded_df64_resid_call(vals, vals_lo, page, idx, x_pad, bh, bl, v,
+                            K: int, n: int, tile: int, kh: int, npage: int,
+                            interpret: bool = False):
+    from raptor_tpu.utils.df64 import df_add, two_prod
+
+    R_rows = tile // LANE
+    T = n // tile
+    nref = 2 * kh + 1
+    Wp_pages = (npage - tile // PAGE) // 2
+    p0 = kh * (tile // PAGE) - Wp_pages
+
+    x2 = x_pad.reshape(-1, LANE)
+    bh2 = bh.reshape(-1, LANE)
+    bl2 = bl.reshape(-1, LANE)
+    v2 = v.reshape(-1, LANE)
+    has_lo = vals_lo is not None
+
+    def kernel(*refs):
+        x_refs = refs[:nref]
+        refs = refs[nref:]
+        d_ref = refs[0]
+        dl_ref = refs[1] if has_lo else None
+        p_ref, i_ref, bh_ref, bl_ref, v_ref, rh_ref, rl_ref = refs[
+            2 if has_lo else 1:]
+        win = jnp.concatenate([r[:] for r in x_refs], axis=0)
+        for r in range(R_rows):
+            vv = v_ref[r:r + 1, :]
+            sh, se = df_add(bh_ref[r:r + 1, :], bl_ref[r:r + 1, :],
+                            -vv, jnp.zeros_like(vv))
+            for k in range(K):
+                pg = p_ref[0, k, r:r + 1, :]
+                ix = i_ref[0, k, r:r + 1, :]
+                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
+                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                gh = jnp.zeros((1, LANE), x_pad.dtype)
+                for p in range(npage):
+                    wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]
+                    g1 = jnp.take_along_axis(wp, ln, axis=1)
+                    g2 = jnp.take_along_axis(g1, sub, axis=0)
+                    gh = jnp.where(pg == p, g2[0:1, :], gh)
+                ph, pe = two_prod(d_ref[0, k, r:r + 1, :], gh)
+                if has_lo:
+                    # a0_lo * x_hi: certify against the UNROUNDED operator
+                    pe = pe + dl_ref[0, k, r:r + 1, :] * gh
+                sh, se = df_add(sh, se, -ph, -pe)
+            rh_ref[r:r + 1, :] = sh
+            rl_ref[r:r + 1, :] = se
+
+    x_specs = [
+        pl.BlockSpec((R_rows, LANE), (lambda t, i=i: (t + i, 0)),
+                     memory_space=pltpu.VMEM)
+        for i in range(nref)
+    ]
+    meta = pl.BlockSpec((1, K, R_rows, LANE), lambda t: (t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
+                       memory_space=pltpu.VMEM)
+    meta_specs = [meta, meta, meta] if has_lo else [meta, meta]
+    meta_args = ([vals, vals_lo] if has_lo else [vals]) + [page, idx]
+    rh, rl = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=x_specs + meta_specs + [meta, vec, vec, vec],
+        out_specs=(vec, vec),
+        out_shape=(jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype),
+                   jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype)),
+        interpret=interpret,
+    )(*([x2] * nref), *meta_args, bh2, bl2, v2)
+    return rh.reshape(-1), rl.reshape(-1)
+
+
+def banded_df64_residual_pallas(plan: dict, vals_lo, xh, bh, bl, v,
+                                interpret: bool = False):
+    """(rh, rl) = df64[(bh, bl) - v - A@xh] through the fused kernel.
+    ``vals_lo``: optional (T, K, R_rows, LANE) fp32 truncation remainder of
+    the operator data in the plan's blocked layout (None to skip)."""
+    tile, kh = plan["tile"], plan["kh"]
+    pad = kh * tile
+    x_pad = jnp.concatenate([jnp.zeros(pad, xh.dtype), xh,
+                             jnp.zeros(pad, xh.dtype)])
+    return _banded_df64_resid_call(
+        plan["vals"], vals_lo, plan["page"], plan["idx"], x_pad, bh, bl, v,
+        K=plan["K"], n=plan["n"], tile=tile, kh=kh, npage=plan["npage"],
+        interpret=interpret)
+
+
+def banded_df64_residual_ref(plan: dict, vals_lo, xh, bh, bl, v):
+    """Plain-jnp reference of the fused df64 residual (any backend): the
+    same EFT accumulation order as the kernel, windowed gathers in jnp."""
+    from raptor_tpu.utils.df64 import df_add, two_prod
+
+    n, tile, kh = plan["n"], plan["tile"], plan["kh"]
+    R_rows = tile // LANE
+    npage = plan["npage"]
+    Wp_pages = (npage - tile // PAGE) // 2
+    p0 = kh * (tile // PAGE) - Wp_pages
+    T = n // tile
+    pad = kh * tile
+    x_pad = jnp.concatenate([jnp.zeros(pad, xh.dtype), xh,
+                             jnp.zeros(pad, xh.dtype)])
+    rh = jnp.zeros((T, R_rows, LANE), xh.dtype)
+    rl = jnp.zeros((T, R_rows, LANE), xh.dtype)
+    bh3 = bh.reshape(T, R_rows, LANE)
+    bl3 = bl.reshape(T, R_rows, LANE)
+    v3 = v.reshape(T, R_rows, LANE)
+    for t in range(T):
+        wstart = t * tile + p0 * PAGE
+        win = x_pad[wstart: wstart + npage * PAGE]
+        sh, se = df_add(bh3[t], bl3[t], -v3[t], jnp.zeros_like(v3[t]))
+        for k in range(plan["K"]):
+            f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
+            gh = win[f]
+            ph, pe = two_prod(plan["vals"][t, k], gh)
+            if vals_lo is not None:
+                pe = pe + vals_lo[t, k] * gh
+            sh, se = df_add(sh, se, -ph, -pe)
+        rh = rh.at[t].set(sh)
+        rl = rl.at[t].set(se)
+    return rh.reshape(-1), rl.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

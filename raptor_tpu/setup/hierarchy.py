@@ -90,7 +90,8 @@ class Level:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse_inv", "perm", "iperm", "tail_op", "a0_lo"],
+    data_fields=["levels", "coarse_inv", "perm", "iperm", "tail_op", "a0_lo",
+                 "a0_lo_band"],
     meta_fields=["config", "tail_start"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +116,10 @@ class Hierarchy:
     # compensated residual adds the a0_lo * x_hi cross term so refinement
     # certifies against the UNROUNDED operator (api._attach_residual_lo)
     a0_lo: Optional[jax.Array] = None
+    # a0_lo re-laid in levels[0].Aband's blocked (T, K, R_rows, 128) layout
+    # so the fused df64 residual kernel can fold the cross term
+    # (ops/pallas/banded_kernel._banded_df64_resid_call)
+    a0_lo_band: Optional[jax.Array] = None
 
     @property
     def num_levels(self) -> int:
@@ -292,7 +297,19 @@ def attach_residual_lo(hier: Hierarchy, A_sp) -> Hierarchy:
     if lo.shape[0] < E.K:
         lo = np.concatenate(
             [lo, np.zeros((E.K - lo.shape[0], lo.shape[1]), np.float32)])
-    return dataclasses.replace(hier, a0_lo=jax.device_put(lo))
+    lo_band = None
+    band = hier.levels[0].Aband
+    if band is not None:
+        # same blocked transform as ops/pallas/banded_kernel.banded_plan's
+        # blk(): slot-major (K, n_pad) -> (T, K, R_rows, 128), so the fused
+        # residual kernel streams the remainder alongside the hi data
+        K_, n_, tile_, _, _, _ = band.meta
+        R_rows = tile_ // 128
+        lo_band = jax.device_put(
+            lo.reshape(K_, n_ // tile_, R_rows, 128).transpose(1, 0, 2, 3)
+            .copy())
+    return dataclasses.replace(hier, a0_lo=jax.device_put(lo),
+                               a0_lo_band=lo_band)
 
 
 def stage_hierarchy(hier: Hierarchy) -> Hierarchy:

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["two_sum", "two_prod", "df_add", "df_add_single", "df_neg",
            "df_from", "df_to_f32"]
@@ -64,7 +65,9 @@ def two_sum(a, b):
     return s, e
 
 
-_HI_MASK = jnp.uint32(0xFFFFF000)  # sign + exp + high 11 explicit mantissa bits
+# numpy scalar (not jnp): stays a literal in the jaxpr, so Pallas kernel
+# bodies can use _split without capturing a device constant
+_HI_MASK = np.uint32(0xFFFFF000)  # sign + exp + high 11 explicit mantissa bits
 
 
 def _split(a):

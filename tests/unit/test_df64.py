@@ -144,6 +144,88 @@ def test_df64_exact_inside_fused_chain_with_gathers():
     assert np.abs(got - ref).max() < 1e-10, np.abs(got - ref).max()
 
 
+def _pi_shuffled_poisson(nx: int, seed: int = 0):
+    """pi-scaled shuffled Poisson: entries are NOT fp32-representable, so
+    attach_residual_lo produces a nonzero a0_lo (the cross-term path)."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.gallery import poisson_3d
+
+    A = sp.csr_matrix(poisson_3d(nx)) * np.pi
+    rng = np.random.default_rng(seed)
+    p = rng.permutation(A.shape[0])
+    return A[p][:, p].tocsr()
+
+
+def test_banded_df64_residual_kernel_vs_fp64():
+    """The fused banded df64 residual kernel (ops/pallas/banded_kernel,
+    interpret mode) == fp64 oracle to df64 resolution, INCLUDING the
+    a0_lo cross term (certification against the unrounded operator)."""
+    from raptor_tpu.api import setup
+    from raptor_tpu.config import AmgConfig
+    from raptor_tpu.core.hybrid import banded_df64_residual
+    from raptor_tpu.ops.pallas.banded_kernel import banded_df64_residual_ref
+
+    A = _pi_shuffled_poisson(16)
+    n = A.shape[0]
+    cfg = AmgConfig(splitting="pmis", smoother="cheb4", fine_layout="banded")
+    hier = setup(A, cfg, dtype=np.float32)
+    band = hier.levels[0].Aband
+    assert band is not None
+    assert hier.a0_lo_band is not None  # pi-scaled data is fp32-inexact
+    n_pad = band.n_pad
+    perm = np.asarray(hier.perm)[:n]
+    Ar64 = A[perm][:, perm].astype(np.float64)
+
+    rng = np.random.default_rng(1)
+
+    def pad(a):
+        out = np.zeros(n_pad, np.float32)
+        out[:n] = a
+        return out
+
+    xh = pad(rng.standard_normal(n).astype(np.float32))
+    b64 = rng.standard_normal(n)
+    bh = pad(b64.astype(np.float32))
+    bl = pad((b64 - bh[:n].astype(np.float64)).astype(np.float32))
+    v = pad((rng.standard_normal(n) * 1e-6).astype(np.float32))
+
+    args = (jnp.asarray(xh), jnp.asarray(bh), jnp.asarray(bl),
+            jnp.asarray(v))
+    rh, rl = banded_df64_residual(band, hier.a0_lo_band, *args,
+                                  interpret=True)
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    ref = (b64 - v[:n].astype(np.float64)
+           - Ar64 @ xh[:n].astype(np.float64))
+    scale = np.abs(Ar64 @ xh[:n].astype(np.float64)).max()
+    assert np.abs(got[:n] - ref).max() / scale < 1e-12
+    if n_pad > n:
+        assert np.abs(got[n:]).max() == 0.0  # identity pad rows stay zero
+
+    # the plain-jnp reference path (CPU solves) agrees with the kernel
+    rh2, rl2 = banded_df64_residual_ref(band.plan(), hier.a0_lo_band, *args)
+    got2 = np.asarray(rh2, np.float64) + np.asarray(rl2, np.float64)
+    assert np.abs(got2[:n] - ref).max() / scale < 1e-12
+
+
+def test_banded_refined_solve_certifies_true_residual():
+    """End-to-end: fine_layout='banded' + on-device refinement routes the
+    fused df64 residual (solve_hier_refined.use_band_resid) and still
+    certifies the TRUE fp64 residual on an fp32-inexact operator."""
+    from raptor_tpu import AmgConfig, SolveConfig, solve
+
+    A = _pi_shuffled_poisson(16, seed=3)
+    b = np.arange(A.shape[0], dtype=np.float64) % 7 + 1
+    x, info = solve(
+        A, b, AmgConfig(splitting="pmis", smoother="cheb4",
+                        fine_layout="banded"),
+        SolveConfig(dtype="float32", refine=True, refine_device=True),
+    )
+    tr = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert info["relres"] <= 1e-8
+    assert tr <= 2e-8, tr
+
+
 def test_bicgstab_device_refinement():
     """solve() with refine_device + krylov='bicgstab' runs the whole
     refinement on device (BiCGStab inner solves) and certifies the true
