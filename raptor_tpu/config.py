@@ -17,7 +17,10 @@ class AmgConfig:
 
     strength:  'classical' (signed, M-matrix oriented) | 'abs' (symmetric |a_ij|)
     splitting: 'rs' (host serial Ruge-Stüben) | 'pmis' | 'cljp' | 'aggregation'
-    interp:    'direct' | 'classical' (modified classical) | 'smoothed' (SA)
+    interp:    'direct' | 'classical' (modified classical)
+               | 'extended' (distance-two ext+i — pair this with PMIS:
+                 plain classical diverges off PMIS C/F sets at scale)
+               | 'smoothed' (SA)
     smoother:  'jacobi' | 'mcgs' (multicolor/red-black Gauss-Seidel)
                | 'chebyshev' | 'cheb4' (fourth-kind Chebyshev)
                | 'block_jacobi' | 'block_cheb' (block-diag-preconditioned,
@@ -40,6 +43,11 @@ class AmgConfig:
     # smoothed aggregation only:
     num_candidates: int = 1
     sa_omega: float = 4.0 / 3.0
+    # interpolation truncation for the distance-two interps (hypre's
+    # P_max_elmts): keep the p_max_elements largest-|w| entries per row,
+    # rescaling +/- parts separately; 0 = no truncation.  Caps the Galerkin
+    # coarse-operator fill that distance-two coarse sets otherwise produce.
+    p_max_elements: int = 4
     # second coarsening pass / aggressive coarsening (config 3):
     aggressive: bool = False
     # coarse-operator sparsification: drop |a_ij| < filter_tol * row max and
@@ -113,6 +121,11 @@ PRESETS: dict[str, AmgConfig] = {
     # solve); 0.08 yields ~30-node aggregates and a genuine multilevel cycle
     "config4": AmgConfig(splitting="aggregation", interp="smoothed",
                          smoother="block_cheb", num_candidates=6, theta=0.08),
-    # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange
-    "config5": AmgConfig(splitting="pmis", smoother="mcgs"),
+    # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange.
+    # extended+i interpolation (the standard PMIS companion): PMIS + direct
+    # degrades with size (17/21/26 PCG iterations at 32/48/64^3) while
+    # ext+i holds nearly flat (11/12/14); the sharded setup builds it
+    # under shard_map (parallel/dist_setup.py)
+    "config5": AmgConfig(splitting="pmis", smoother="mcgs",
+                         interp="extended"),
 }

@@ -344,7 +344,8 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
     nc_glob = ndev * max_c
     want_lmax = cfg.smoother in ("chebyshev", "cheb4")
     classical = cfg.interp == "classical"
-    if classical:
+    extended = cfg.interp == "extended"
+    if classical or extended:
         assert ext_glob is not None
         ext_glob = jnp.asarray(ext_glob)
 
@@ -360,18 +361,45 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
         is_c_ext = halo_exchange(is_c.astype(jnp.int32), plan, AXIS) > 0
         cmap_ext = halo_exchange(cmap, plan, AXIS)
 
-        if classical:
-            from raptor_tpu.setup.interp import classical_interpolation_core
+        from raptor_tpu.setup.interp import EXT_DEVICE_MAX_K
 
+        if classical or (extended and A_loc.K <= EXT_DEVICE_MAX_K):
             gext = rest[0][0]  # (n_ext,) ext index -> global column id
             colsg = jnp.take(gext, A_loc.cols)  # owned rows, global ids
             ext_data = halo_exchange_many(A_loc.data, plan, AXIS)
             ext_colsg = halo_exchange_many(colsg, plan, AXIS)
             ext_nnz = halo_exchange(A_loc.row_nnz, plan, AXIS)
-            Pl = classical_interpolation_core(
-                A_loc, ext_data, ext_colsg, ext_nnz, smask,
-                is_c, is_c_ext, cmap, cmap_ext, gext,
-            )
+            if classical:
+                from raptor_tpu.setup.interp import (
+                    classical_interpolation_core,
+                )
+
+                Pl = classical_interpolation_core(
+                    A_loc, ext_data, ext_colsg, ext_nnz, smask,
+                    is_c, is_c_ext, cmap, cmap_ext, gext,
+                )
+            else:
+                from raptor_tpu.setup.interp import (
+                    extended_interpolation_core,
+                )
+
+                # strong-C flags and global coarse ids are computed by each
+                # entry's OWNER (who holds that column in its halo) and
+                # shipped with the rows: distance-2 targets can live
+                # outside this shard's halo, so the (gid, cid) pairs ride
+                # through the core's dedup instead of a cmap gather
+                sc_own = smask & jnp.take(is_c_ext, A_loc.cols)
+                ext_sc = halo_exchange_many(
+                    sc_own.astype(jnp.int32), plan, AXIS) > 0
+                cc_own = jnp.where(jnp.take(is_c_ext, A_loc.cols),
+                                   jnp.take(cmap_ext, A_loc.cols),
+                                   jnp.int32(-1))
+                ext_cc = halo_exchange_many(cc_own, plan, AXIS)
+                Pl = extended_interpolation_core(
+                    A_loc, ext_data, ext_colsg, ext_nnz, ext_sc, ext_cc,
+                    smask, is_c, is_c_ext, cmap, cmap_ext, gext,
+                    gext[:n_local], p_max=cfg.p_max_elements,
+                )
         else:
             Pl = direct_interpolation_core(
                 A_loc, smask, is_c, is_c_ext, cmap, cmap_ext
@@ -405,7 +433,7 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
         out_specs += (P(),)
     in_specs = (_dm_spec(A_dist), P(AXIS))
     args = (A_dist, cf)
-    if classical:
+    if classical or extended:
         in_specs += (P(AXIS, None),)
         args += (ext_glob,)
     run = _shmap(mesh, body, in_specs=in_specs, out_specs=out_specs)
@@ -775,6 +803,24 @@ def _run_ac(mesh, A_dist: DistMatrix, ap_arrs, pt_arrs, ccounts, k_ac: int,
 # Host orchestration
 # ---------------------------------------------------------------------------
 
+def _widen_rap_plan(A_dist: DistMatrix, cols_np, P_cols, P_nnz, ndev: int,
+                    n_pad: int, max_c: int) -> DistMatrix:
+    """Rebuild A's halo plan widened with the P^T pattern: when P reaches
+    coarse points more than one graph distance away (multipass, ext+i),
+    each coarse row's OWNER must receive every contributing fine row, which
+    the operator's distance-1 halo no longer covers (host structure pass,
+    like everything else here)."""
+    pc_host = np.asarray(P_cols)
+    pn_host = np.asarray(P_nnz)
+    pmask = np.arange(pc_host.shape[0])[:, None] < pn_host[None, :]
+    fine = np.broadcast_to(np.arange(n_pad)[None, :], pc_host.shape)
+    owner_c = pc_host // max_c
+    extra = [np.unique(fine[pmask & (owner_c == p)]) for p in range(ndev)]
+    return _make_dist(A_dist.data, cols_np, np.asarray(A_dist.row_nnz),
+                      ndev, n_pad // ndev, A_dist.K, A_dist.shape,
+                      extra_ghosts=extra)
+
+
 def _make_dist(data, cols_np, nnz, ndev: int, nc_own: int, K: int,
                shape, extra_ghosts=None) -> DistMatrix:
     """DistMatrix from device values + host structure (values untouched)."""
@@ -813,9 +859,9 @@ def dist_build_hierarchy(
     """Build a DistHierarchy with the setup itself sharded over the mesh
     (BASELINE.json:11 weak-scaling SpGEMM setup).
 
-    Supports PMIS/CLJP splitting with direct or modified-classical
-    interpolation, and aggressive (distance-2) coarsening with multipass
-    interpolation (config 3's pipeline).  For RS/SA setups use the
+    Supports PMIS/CLJP splitting with direct, modified-classical or
+    extended+i (distance-two) interpolation, and aggressive (distance-2)
+    coarsening with multipass interpolation (config 3's pipeline).  For RS/SA setups use the
     single-device ``build_hierarchy`` + ``distribute_hierarchy``.  The
     result is numerically identical to the single-device hierarchy up to
     the block-padded coarse renumbering (see module docstring) and solves
@@ -824,9 +870,9 @@ def dist_build_hierarchy(
     if config.splitting not in ("pmis", "cljp"):
         raise ValueError("dist_build_hierarchy supports splitting='pmis' or "
                          f"'cljp' (got {config.splitting!r})")
-    if config.interp not in ("direct", "classical"):
-        raise ValueError("dist_build_hierarchy supports interp='direct' or "
-                         f"'classical' (got {config.interp!r})")
+    if config.interp not in ("direct", "classical", "extended"):
+        raise ValueError("dist_build_hierarchy supports interp='direct', "
+                         f"'classical' or 'extended' (got {config.interp!r})")
     if config.aggressive and config.splitting != "pmis":
         raise ValueError("distributed aggressive coarsening runs on the "
                          "PMIS engine (distance-2 MIS on G^2)")
@@ -880,33 +926,29 @@ def dist_build_hierarchy(
             # the RAP's transpose assembly needs each coarse row's OWNER to
             # receive every contributing fine row, which the operator's
             # distance-1 halo no longer covers.  Widen the plan with the
-            # P^T pattern (host structure pass, like everything else here).
-            pc_host = np.asarray(P_cols)
-            pn_host = np.asarray(P_nnz)
-            pmask = (np.arange(pc_host.shape[0])[:, None]
-                     < pn_host[None, :])
-            fine = np.broadcast_to(
-                np.arange(n_pad)[None, :], pc_host.shape)
-            owner_c = pc_host // max_c
-            extra = [np.unique(fine[pmask & (owner_c == p)])
-                     for p in range(ndev)]
-            A_rap = _make_dist(A_dist.data, cols_np,
-                               np.asarray(A_dist.row_nnz), ndev,
-                               n_pad // ndev, A_dist.K, A_dist.shape,
-                               extra_ghosts=extra)
-            # re-measure the transpose width over the WIDER plan (more
-            # fine rows reach each owned coarse column; ell_transpose_fixed
-            # would silently truncate on the narrow measure)
+            # P^T pattern and re-measure the transpose width over it
+            # (ell_transpose_fixed would silently truncate on the narrow
+            # measure).
+            A_rap = _widen_rap_plan(A_dist, cols_np, P_cols, P_nnz, ndev,
+                                    n_pad, max_c)
             k_ap, k_pt = _run_widths(
                 mesh, A_rap, (P_data, P_cols, P_nnz), max_c, ndev)
         else:
             e2g = None
-            if config.interp == "classical":
+            if config.interp in ("classical", "extended"):
                 e2g = _ext2glob(cols_np, np.asarray(A_dist.row_nnz), ndev,
                                 n_pad // ndev, A_dist.halo.n_ext)
             (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_interp(
                 mesh, A_dist, cf, config, max_c, ndev, ext_glob=e2g
             )
+            if config.interp == "extended":
+                # ext+i P reaches distance-2 coarse points — the RAP's
+                # transpose assembly needs the same P^T-pattern halo
+                # widening (and width re-measure) as multipass P above
+                A_rap = _widen_rap_plan(A_dist, cols_np, P_cols, P_nnz,
+                                        ndev, n_pad, max_c)
+                k_ap, k_pt = _run_widths(
+                    mesh, A_rap, (P_data, P_cols, P_nnz), max_c, ndev)
         *ap_pt, k_ac = _run_rap(
             mesh, A_rap, (P_data, P_cols, P_nnz),
             int(k_ap), int(k_pt), max_c, ndev,

@@ -172,9 +172,9 @@ def _bucket8(w: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("theta", "strength_kind", "splitting",
-                                   "interp", "want_lmax"))
+                                   "interp", "want_lmax", "p_max"))
 def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
-                  interp, want_lmax):
+                  interp, want_lmax, p_max=4):
     """Fused first half of one setup level, ONE compiled program:
     strength -> splitting -> interpolation -> width measurements -> smoother
     scalars.  The host reads back four scalars in a single sync and then
@@ -192,6 +192,19 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
         raise ValueError(f"unfusable splitting: {splitting}")
     if interp == "classical":
         P, nc = classical_interpolation(A, smask, cf)
+    elif interp == "extended":
+        from raptor_tpu.setup.interp import (
+            EXT_DEVICE_MAX_K,
+            extended_interpolation,
+        )
+
+        if A.K <= EXT_DEVICE_MAX_K:
+            P, nc = extended_interpolation(A, smask, cf, p_max=p_max)
+        else:
+            # fat device level: the jitted ext+i slot bound K*(K2+1) grows
+            # quadratically — fall back to direct here; levels below
+            # host_setup_threshold get full ext+i on the host path
+            P, nc = direct_interpolation(A, smask, cf)
     else:
         P, nc = direct_interpolation(A, smask, cf)
     w_T = jnp.max(_transpose_col_counts(P))
@@ -237,7 +250,7 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     P_wide, dinv, lmax, cf, scal = _level_phase1(
         A, perm, theta=config.theta, strength_kind=config.strength,
         splitting=config.splitting, interp=config.interp,
-        want_lmax=want_lmax)
+        want_lmax=want_lmax, p_max=config.p_max_elements)
     # sync 1 — cf rides the same round trip (build_hierarchy filters its
     # row-id array by it; a separate pull costs a full tunnel round trip)
     scal, cf = jax.device_get((scal, cf))
@@ -366,7 +379,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         if (
             n <= config.host_setup_threshold
             and config.splitting in ("rs", "pmis")
-            and (config.interp == "direct" or config.aggressive)
+            and (config.interp in ("direct", "classical", "extended")
+                 or config.aggressive)
         ):
             from raptor_tpu.setup.host_setup import host_build_tail
 
@@ -433,6 +447,17 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
 
         if config.interp == "classical":
             P_wide, nc_arr = classical_interpolation(A, smask, cf)
+        elif config.interp == "extended":
+            from raptor_tpu.setup.interp import (
+                EXT_DEVICE_MAX_K,
+                extended_interpolation,
+            )
+
+            if A.K <= EXT_DEVICE_MAX_K:
+                P_wide, nc_arr = extended_interpolation(
+                    A, smask, cf, p_max=config.p_max_elements)
+            else:
+                P_wide, nc_arr = direct_interpolation(A, smask, cf)
         else:
             P_wide, nc_arr = direct_interpolation(A, smask, cf)
         nc = int(nc_arr)

@@ -276,6 +276,139 @@ def _np_multipass(data, colsA, nnz, smask, cf, n: int, max_passes: int = 4):
     return P, nc
 
 
+def _np_truncate_p(P, max_elems: int):
+    """Interpolation truncation (hypre's P_max_elmts): keep the
+    ``max_elems`` largest-|w| entries per row and rescale the kept positive
+    and negative parts SEPARATELY so both partial row sums are preserved
+    (constants still interpolate exactly; a joint rescale can blow up when
+    the kept signed sums nearly cancel).  Caps the interpolation width —
+    and hence the Galerkin coarse-operator fill — of the distance-two
+    interpolations below."""
+    import scipy.sparse as sp
+
+    if max_elems <= 0:
+        return P
+    P = sp.csr_matrix(P)
+    counts = np.diff(P.indptr)
+    if counts.max(initial=0) <= max_elems:
+        return P
+    nnz = len(P.data)
+    rows = np.repeat(np.arange(P.shape[0]), counts)
+    order = np.lexsort((-np.abs(P.data), rows))
+    rank = np.arange(nnz) - np.repeat(P.indptr[:-1], counts)
+    keep = np.zeros(nnz, bool)
+    keep[order] = rank < max_elems
+    pos = P.data > 0
+    full_p = np.zeros(P.shape[0])
+    full_n = np.zeros(P.shape[0])
+    kept_p = np.zeros(P.shape[0])
+    kept_n = np.zeros(P.shape[0])
+    np.add.at(full_p, rows, np.where(pos, P.data, 0))
+    np.add.at(full_n, rows, np.where(~pos, P.data, 0))
+    np.add.at(kept_p, rows, np.where(keep & pos, P.data, 0))
+    np.add.at(kept_n, rows, np.where(keep & ~pos, P.data, 0))
+    sp_ = np.where(kept_p != 0, full_p / np.where(kept_p != 0, kept_p, 1), 1)
+    sn_ = np.where(kept_n != 0, full_n / np.where(kept_n != 0, kept_n, 1), 1)
+    data = np.where(keep, P.data * np.where(pos, sp_[rows], sn_[rows]), 0.0)
+    out = sp.csr_matrix((data, P.indices, P.indptr), shape=P.shape)
+    out.eliminate_zeros()
+    return out
+
+
+def np_distance_two_interpolation(data, colsA, nnz, smask, cf,
+                                  variant: str = "extended",
+                                  p_max: int = 4):
+    """SciPy-product distance-two interpolation over the padded rows.
+
+    ``variant='extended'``: extended+i interpolation (De Sterck, Falgout,
+    Nolting & Yang 2008, hypre's ext+i) — THE standard PMIS companion.  The
+    target set of F row i is the distance-two coarse set
+    T_i = C_i ∪ (∪_{k∈F^s_i} C_k); strong F couplings a_ik are distributed
+    over row k restricted to T_i ∪ {i}:
+
+        w_ij = -( a_ij + Σ_{k∈F^s_i} a_ik a_kj / D_ik ) / â_ii,  j ∈ T_i
+        D_ik = Σ_{l ∈ T_i ∪ {i}} a_kl
+        â_ii = a_ii + Σ_{weak l ∉ T_i} a_il + Σ_k a_ik a_ki / D_ik
+               + Σ_{k: D_ik = 0} a_ik
+
+    PMIS admits strong F-F pairs with NO common C point; plain (modified)
+    classical interpolation collapses those couplings into the diagonal,
+    which measurably diverges on 3D Poisson >= 32^3 (observed: 1600
+    refinement iterations, relres 2.1).  ext+i routes them through the
+    neighbor's own coarse set instead.
+
+    ``variant='classical'``: the modified-classical formula (same as the
+    jitted setup.interp.classical_interpolation: T_i = C_i, no +i term) —
+    provided so RS/CLJP-split hierarchies can also build on the host path.
+
+    Everything is sparse matrix algebra: T = bool(S_FC + S_FF @ S_FC),
+    D = (T + I_F) @ A^T sampled on the S_FF pattern, Contrib = (S_FF/D) @ A
+    masked to T.  Returns (P csr over the PADDED rows, nc).
+    """
+    import scipy.sparse as sp
+
+    K, n_pad = data.shape
+    lane = np.arange(n_pad)
+    k = np.arange(K)[:, None]
+    slot = k < nnz[None, :]
+    rows = np.broadcast_to(lane[None, :], colsA.shape)
+    off = (colsA != rows) & slot
+    is_c = cf == C_PT
+    nc = int(is_c.sum())
+    if nc == 0:
+        return None, 0
+    is_f = ~is_c
+    diag = np.where(slot & ~off, data, 0).sum(axis=0)
+
+    strong_c = smask & is_c[colsA]
+    strong_f = smask & ~is_c[colsA]
+
+    A = sp.csr_matrix((data[slot], (rows[slot], colsA[slot])),
+                      shape=(n_pad, n_pad))
+    ones = np.ones(int(strong_c.sum()), np.float64)
+    T0 = sp.csr_matrix((ones, (rows[strong_c], colsA[strong_c])),
+                       shape=(n_pad, n_pad))
+    Sff = sp.csr_matrix((data[strong_f], (rows[strong_f], colsA[strong_f])),
+                        shape=(n_pad, n_pad))
+    if variant == "extended":
+        SffP = sp.csr_matrix(
+            (np.ones(Sff.nnz), Sff.indices, Sff.indptr), shape=Sff.shape)
+        T = ((T0 + SffP @ T0) > 0).astype(np.float64).tocsr()
+        Tden = T + sp.diags(is_f.astype(np.float64))
+    else:  # classical: distance-1 common-C distribution, no +i
+        T = (T0 > 0).astype(np.float64).tocsr()
+        Tden = T
+
+    D_full = (Tden @ A.T).tocsr()
+    Sc = Sff.tocoo()
+    Dik = np.asarray(D_full[Sc.row, Sc.col]).ravel()
+    ok = Dik != 0
+    coef = np.where(ok, Sc.data / np.where(ok, Dik, 1), 0.0)
+    M = sp.csr_matrix((coef, (Sc.row, Sc.col)), shape=(n_pad, n_pad))
+    Contrib = (M @ A).tocsr()
+
+    W = T.multiply(A + Contrib).tocsr()
+
+    # diagonal: weak couplings outside T_i collapse; zero-denominator
+    # strong-F couplings fall back to collapsing too; +i cross term for ext
+    memb = np.zeros_like(off)
+    memb[off] = np.asarray(T[rows[off], colsA[off]]).ravel() > 0
+    collapse = np.where(off & ~smask & ~memb, data, 0).sum(axis=0)
+    fb = np.zeros(n_pad)
+    np.add.at(fb, Sc.row, np.where(ok, 0.0, Sc.data))
+    dii = diag.astype(np.float64) + collapse + fb
+    if variant == "extended":
+        dii = dii + Contrib.diagonal()
+    dii = np.where(dii != 0, dii, 1.0)
+
+    Pf = sp.diags(np.where(is_f, -1.0 / dii, 0.0)) @ W
+    Pid = sp.csr_matrix(
+        (np.ones(nc), (lane[is_c], lane[is_c])), shape=(n_pad, n_pad))
+    P = (Pf + Pid).tocsr()[:, is_c].tocsr()
+    P = _np_truncate_p(P, p_max)
+    return P.astype(data.dtype), nc
+
+
 def _np_filter_csr(Ac, tol: float):
     """SciPy mirror of ops.sparse_ops.ell_filter: drop off-diagonal entries
     with |a_ij| < tol * max_offdiag|a_ik| and lump them into the diagonal."""
@@ -354,9 +487,10 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     out = []  # host-level tuples
     n = A.shape[0]
     while len(levels) + len(out) + 1 < config.max_levels and n > config.coarse_size:
-        if config.interp != "direct" and not config.aggressive:
+        if (config.interp not in ("direct", "classical", "extended")
+                and not config.aggressive):
             raise ValueError(
-                "host setup tail implements direct interpolation only; "
+                f"host setup tail: unsupported interp {config.interp!r}; "
                 "set host_setup_threshold=0 for other interp kinds")
         data, colsA, nnz = _ell_np(A)
         # rebind to the pulled host arrays: the level tuple below must not
@@ -383,8 +517,16 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
                 perm = (make_perm_ids_np(ids, n_pad, seed) if ids is not None
                         else make_perm_np(n, n_pad, seed))
                 cf = np_pmis_splitting(colsA, smask, perm, n_pad)
-            Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, smask,
-                                                     cf)
+            if config.interp in ("classical", "extended"):
+                # distance-two (ext+i) / modified-classical via sparse
+                # products; PMIS + plain classical diverges at >= 24^3 3D
+                # Poisson (see np_distance_two_interpolation docstring)
+                P_pad_csr, nc = np_distance_two_interpolation(
+                    data, colsA, nnz, smask, cf, variant=config.interp,
+                    p_max=config.p_max_elements)
+            else:
+                Pd, Pc, Pn, nc = np_direct_interpolation(
+                    data, colsA, nnz, smask, cf)
         if nc == 0 or nc >= n:
             break
         if ids is not None:

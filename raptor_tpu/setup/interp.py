@@ -26,6 +26,7 @@ host hierarchy loop reads n_c once per level and re-tightens the metadata
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,8 @@ from raptor_tpu.core.ell import EllMatrix, pad_rows
 from raptor_tpu.setup.splitting import C_PT
 
 __all__ = ["direct_interpolation", "direct_interpolation_core",
+           "classical_interpolation", "classical_interpolation_core",
+           "extended_interpolation", "extended_interpolation_core",
            "tighten_coarse_space", "add_identity_padding"]
 
 
@@ -232,6 +235,214 @@ def classical_interpolation(
     gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
     P = classical_interpolation_core(
         A, A.data, A.cols, A.row_nnz, smask, is_c, is_c, cmap, cmap, gcol)
+    return P, jnp.sum(is_c.astype(jnp.int32))
+
+
+def extended_interpolation_core(
+    A: EllMatrix,
+    ext_data: jax.Array,
+    ext_cols_glob: jax.Array,
+    ext_nnz: jax.Array,
+    ext_strongc: jax.Array,
+    ext_ccols: jax.Array,
+    smask: jax.Array,
+    is_c_row: jax.Array,
+    is_c_col: jax.Array,
+    cmap_row: jax.Array,
+    cmap_col: jax.Array,
+    gcol: jax.Array,
+    gid_row: jax.Array,
+    p_max: int = 4,
+) -> EllMatrix:
+    """Extended+i (distance-two) interpolation body, jit-traceable.
+
+    The formula (De Sterck, Falgout, Nolting & Yang 2008; hypre's ext+i —
+    the standard PMIS companion, see setup/host_setup.py::
+    np_distance_two_interpolation for why plain classical diverges off
+    PMIS):
+
+        T_i   = C_i ∪ (∪_{k∈F^s_i} C_k)          (distance-two coarse set)
+        w_ij  = -( a_ij + Σ_k a_ik a_kj / D_ik ) / â_ii,   j ∈ T_i
+        D_ik  = Σ_{l ∈ T_i ∪ {i}} a_kl
+        â_ii  = a_ii + Σ_{weak l ∉ T_i} a_il + Σ_k a_ik a_ki / D_ik
+                + Σ_{k: D_ik=0} a_ik
+
+    Same view contract as ``classical_interpolation_core`` (ext rows /
+    global column ids for the distributed seam) plus ``ext_strongc``
+    ((K2, n_ext) strong-C mask of the ext rows' slots), ``ext_ccols``
+    ((K2, n_ext) global COARSE id of each ext-row entry's column, -1 for
+    F/invalid — targets are distance-2, so their coarse ids are shipped
+    per-entry with the rows instead of gathered from a global cmap; the
+    (gid, cid) pairs ride together through the dedup), and ``gid_row``
+    ((n,) global id of each local row, for the +i membership test).
+
+    The target set lives in KT = K*(K2+1) static slots (min-extract dedup of
+    the candidate union) — affordable for fine-level widths; the hierarchy
+    loop falls back to direct interpolation on device levels wider than
+    ``EXT_DEVICE_MAX_K`` (the host-NumPy tail applies full ext+i to every
+    level below ``host_setup_threshold``).  ``p_max`` > 0 truncates each row
+    to its largest-|w| entries with ±-separate rescaling (hypre
+    P_max_elmts), capping the Galerkin fill.
+    """
+    K, n = A.data.shape
+    K2 = ext_data.shape[0]
+    row = A.row_index()
+    off = (A.cols != row) & A.slot_mask()
+    a = A.data
+    dt = A.dtype
+
+    strong_c = smask & jnp.take(is_c_col, A.cols)
+    strong_f = smask & ~jnp.take(is_c_col, A.cols) & off
+
+    BIG = jnp.int32(2**30)
+    gcols_own = jnp.take(gcol, A.cols)  # (K, n) global ids of own entries
+
+    # ---- candidate union of distance-1 and distance-2 strong-C ids ----
+    # each candidate is a (global id, global coarse id) pair; the pairs
+    # ride together through the dedup so no global cmap gather is needed
+    # (distance-2 targets can live outside the local+halo index space in
+    # the distributed setup)
+    cand = [jnp.where(strong_c, gcols_own, BIG)]
+    candc = [jnp.where(strong_c, jnp.take(cmap_col, A.cols), -1)]
+    for k1 in range(K):
+        kk = A.cols[k1]
+        rowk_cols = jnp.take(ext_cols_glob, kk, axis=1)  # (K2, n)
+        rowk_sc = jnp.take(ext_strongc, kk, axis=1)
+        rowk_cc = jnp.take(ext_ccols, kk, axis=1)
+        keep_k = strong_f[k1][None, :] & rowk_sc
+        cand.append(jnp.where(keep_k, rowk_cols, BIG))
+        candc.append(jnp.where(keep_k, rowk_cc, -1))
+    cand = jnp.concatenate(cand, axis=0)  # (K*(K2+1), n)
+    candc = jnp.concatenate(candc, axis=0)
+
+    KT = cand.shape[0]
+    # sorted-unique compaction: KT rounds of min extraction (duplicates
+    # collapse because every equal candidate is masked at once)
+    t_rows = []
+    t_cids = []
+    cur = cand
+    for _ in range(KT):
+        m = jnp.min(cur, axis=0)
+        t_cids.append(jnp.max(
+            jnp.where(cand == m[None, :], candc, -1), axis=0))
+        t_rows.append(m)
+        cur = jnp.where(cur == m[None, :], BIG, cur)
+    T_mat = jnp.stack(t_rows)  # (KT, n) ascending global C ids, BIG = empty
+    T_cid = jnp.stack(t_cids)  # (KT, n) matching global coarse ids
+    t_mask = T_mat < BIG
+
+    # ---- numerators / denominators ----
+    w = jnp.zeros((KT, n), dt)
+    dii = A.diagonal()
+    for k1 in range(K):
+        # direct a_ij part for ANY own entry whose col is in T_i (weak C
+        # neighbors in T included, per the formula); entries outside T that
+        # are not strong-F collapse into the diagonal
+        eq_own = (gcols_own[k1][None, :] == T_mat) & t_mask
+        w = w + jnp.where(eq_own & off[k1][None, :], a[k1][None, :], 0)
+        in_t = jnp.any(eq_own, axis=0)
+        dii = dii + jnp.where(off[k1] & ~strong_f[k1] & ~in_t, a[k1], 0)
+
+    for k1 in range(K):
+        kk = A.cols[k1]
+        act = strong_f[k1]
+        rowk_cols = jnp.take(ext_cols_glob, kk, axis=1)  # (K2, n)
+        rowk_vals = jnp.take(ext_data, kk, axis=1)
+        rowk_nnz = jnp.take(ext_nnz, kk)
+        u = jnp.zeros((KT, n), dt)
+        den = jnp.zeros(n, dt)
+        diag_add = jnp.zeros(n, dt)
+        for k2 in range(K2):
+            va = (k2 < rowk_nnz)
+            rc = rowk_cols[k2]
+            rv = jnp.where(va, rowk_vals[k2], 0)
+            eq = (rc[None, :] == T_mat) & t_mask
+            u = u + jnp.where(eq, rv[None, :], 0)
+            hit_i = rc == gid_row
+            den = den + jnp.where(jnp.any(eq, axis=0) | hit_i, rv, 0)
+            diag_add = diag_add + jnp.where(hit_i, rv, 0)
+        ok = den != 0
+        coef = jnp.where(act & ok, a[k1] / jnp.where(ok, den, 1), 0)
+        w = w + coef[None, :] * u
+        dii = dii + coef * diag_add  # the +i cross term a_ik a_ki / D_ik
+        dii = dii + jnp.where(act & ~ok, a[k1], 0)  # zero-D fallback
+
+    dii = jnp.where(dii != 0, dii, 1)
+    pvals = jnp.where(t_mask, -w / dii[None, :], 0)
+
+    # ---- truncation (hypre P_max_elmts) with ±-separate rescale ----
+    if p_max > 0 and KT > p_max:
+        absw = jnp.where(t_mask, jnp.abs(pvals), -1.0)
+        keep = jnp.zeros((KT, n), bool)
+        lanei = jax.lax.broadcasted_iota(jnp.int32, (KT, n), 0)
+        cur = absw
+        for _ in range(p_max):
+            arg = jnp.argmax(cur, axis=0)
+            oh = lanei == arg[None, :]
+            keep = keep | (oh & (cur > 0))
+            cur = jnp.where(oh, -1.0, cur)
+        pos = pvals > 0
+        neg = t_mask & ~pos
+        full_p = jnp.sum(jnp.where(pos, pvals, 0), axis=0)
+        full_n = jnp.sum(jnp.where(neg, pvals, 0), axis=0)
+        kept_p = jnp.sum(jnp.where(keep & pos, pvals, 0), axis=0)
+        kept_n = jnp.sum(jnp.where(keep & ~pos, pvals, 0), axis=0)
+        sc_p = jnp.where(kept_p != 0,
+                         full_p / jnp.where(kept_p != 0, kept_p, 1), 1)
+        sc_n = jnp.where(kept_n != 0,
+                         full_n / jnp.where(kept_n != 0, kept_n, 1), 1)
+        pvals = jnp.where(
+            keep, pvals * jnp.where(pos, sc_p[None, :], sc_n[None, :]), 0)
+        Kp = p_max
+    else:
+        Kp = KT
+
+    sel = pvals != 0
+    # compact kept slots to the front (width Kp); T_mat is ascending so the
+    # compacted columns stay sorted per row
+    slotpos = jnp.cumsum(sel.astype(jnp.int32), axis=0) - 1
+    posk = jnp.where(sel, slotpos, Kp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KT, n), 1)
+    pcols = T_cid
+    P_data = jnp.zeros((Kp, n), dt).at[posk, lane].add(pvals, mode="drop")
+    P_cols = jnp.zeros((Kp, n), jnp.int32).at[posk, lane].max(
+        jnp.where(sel, pcols, 0), mode="drop")
+    p_nnz = jnp.sum(sel, axis=0).astype(jnp.int32)
+
+    k0 = jax.lax.broadcasted_iota(jnp.int32, (Kp, n), 0) == 0
+    own = jnp.where(k0, cmap_row[None, :], 0)
+    P_data = jnp.where(is_c_row[None, :],
+                       jnp.where(k0, 1.0, 0.0).astype(dt), P_data)
+    P_cols = jnp.where(is_c_row[None, :], own, P_cols)
+    p_nnz = jnp.where(is_c_row, 1, p_nnz)
+    return EllMatrix(
+        data=P_data, cols=P_cols, row_nnz=p_nnz,
+        shape=(A.shape[0], A.n_rows_pad),
+        n_rows_pad=A.n_rows_pad, n_cols_pad=A.n_rows_pad,
+    )
+
+
+# device levels wider than this fall back to direct interpolation (the
+# KT = K*(K2+1) slot bound of the jitted ext+i core grows quadratically);
+# every level below config.host_setup_threshold gets full ext+i via the
+# host-NumPy path regardless
+EXT_DEVICE_MAX_K = 16
+
+
+@partial(jax.jit, static_argnames=("p_max",))
+def extended_interpolation(
+    A: EllMatrix, smask: jax.Array, cf: jax.Array, p_max: int = 4
+) -> tuple[EllMatrix, jax.Array]:
+    """Single-device extended+i interpolation (see
+    ``extended_interpolation_core``).  Returns (P, n_coarse)."""
+    is_c = cf == C_PT
+    cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
+    gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
+    sc = smask & jnp.take(is_c, A.cols)
+    ccols = jnp.where(jnp.take(is_c, A.cols), jnp.take(cmap, A.cols), -1)
+    P = extended_interpolation_core(
+        A, A.data, A.cols, A.row_nnz, sc, ccols, smask, is_c, is_c, cmap,
+        cmap, gcol, gcol, p_max=p_max)
     return P, jnp.sum(is_c.astype(jnp.int32))
 
 

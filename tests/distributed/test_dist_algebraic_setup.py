@@ -257,6 +257,64 @@ def test_dist_classical_interp_matches_single():
 
 
 @pytest.mark.slow
+def test_dist_extended_interp_matches_single():
+    """Distributed extended+i (distance-two) interpolation: owned-row P
+    values equal the single-device ext+i P bit-for-bit up to the
+    block-padded coarse renumbering — the distance-2 targets' (global id,
+    coarse id) pairs are shipped with the halo rows, and the RAP rides the
+    P^T-widened plan (multi-hop P columns).  The dist-built hierarchy then
+    solves to 1e-8 against scipy fp64."""
+    A = poisson_3d(12)
+    cfg = _cfg(interp="extended")
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_hierarchy(A, cfg, mesh=mesh, tail_size=256,
+                              dtype=np.float64)
+    hier = build_hierarchy(
+        ell_from_csr(A, dtype=np.float64, row_pad_multiple=8 * NDEV), cfg)
+    assert dh.levels[0].n == hier.levels[0].n
+    if len(dh.levels) > 1:
+        assert dh.levels[1].n == hier.levels[1].n
+
+    # level-0 P row multiset: per-row sorted weight vectors must agree
+    Pd = np.asarray(dh.bridge_P.data if len(dh.levels) == 1
+                    else dh.levels[0].Pmat.data, np.float64)
+    Pn = np.asarray(dh.bridge_P.row_nnz if len(dh.levels) == 1
+                    else dh.levels[0].Pmat.row_nnz)
+    Pd_ref = np.asarray(hier.levels[0].P.data, np.float64)
+    Pn_ref = np.asarray(hier.levels[0].P.row_nnz)
+    n = hier.levels[0].n
+    r1 = np.sort(np.where(np.arange(Pd.shape[0])[:, None] < Pn[None, :n],
+                          Pd[:, :n], np.inf), axis=0)
+    r2 = np.sort(np.where(np.arange(Pd_ref.shape[0])[:, None] < Pn_ref[None, :n],
+                          Pd_ref[:, :n], np.inf), axis=0)
+    kmin = min(r1.shape[0], r2.shape[0])
+    assert np.allclose(r1[:kmin], r2[:kmin], rtol=0, atol=1e-13,
+                       equal_nan=True)
+    # level-1 operator fingerprint (renumbering-invariant): trace agrees
+    if len(dh.levels) > 1:
+        lv, lref = dh.levels[1], hier.levels[1]
+        d1 = np.asarray(lv.A.data, np.float64)
+        z1 = np.asarray(lv.A.row_nnz)
+        dr = np.asarray(lref.A.data, np.float64)
+        zr = np.asarray(lref.A.row_nnz)
+        m1 = np.arange(d1.shape[0])[:, None] < z1[None, :]
+        mr = np.arange(dr.shape[0])[:, None] < zr[None, :]
+        tr1 = np.sum(np.where(m1, d1, 0.0)) - (d1.shape[1] - lv.n)
+        trr = np.sum(np.where(mr, dr, 0.0)) - (dr.shape[1] - lv.n)
+        assert np.isclose(tr1, trr, rtol=1e-10), (tr1, trr)
+
+    n0 = A.shape[0]
+    b = default_rhs(n0, dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[:n0] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    xn = np.asarray(x)[:n0]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+@pytest.mark.slow
 def test_dist_aggressive_setup_matches_single():
     """Distributed aggressive coarsening (config 3's pipeline under
     shard_map): the distance-2 MIS on G^2 is bit-identical to the

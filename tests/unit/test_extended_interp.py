@@ -1,0 +1,113 @@
+"""Extended+i (distance-two) interpolation — the standard PMIS companion
+(BASELINE.json:5 "interpolation"; hypre ext+i, De Sterck/Falgout/Nolting/
+Yang 2008).  PMIS admits strong F-F pairs with no common C point, which
+makes plain modified-classical interpolation DIVERGE on 3D Poisson >= 24^3
+(measured: 1600 refinement iterations); ext+i routes those couplings
+through the neighbor's own coarse set and cuts PMIS+direct iteration
+counts by ~1/3 (17 -> 11 at 32^3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from raptor_tpu.config import AmgConfig
+from raptor_tpu.core.ell import ell_from_csr
+from raptor_tpu.gallery import poisson_3d
+from raptor_tpu.setup.host_setup import (
+    np_distance_two_interpolation,
+    np_pmis_splitting,
+    np_strength_mask,
+)
+from raptor_tpu.setup.interp import extended_interpolation
+from raptor_tpu.setup.splitting import make_perm_np
+
+
+def _problem(nx=10, shuffle=False, dtype=np.float64):
+    A = sp.csr_matrix(poisson_3d(nx))
+    if shuffle:
+        rng = np.random.default_rng(0)
+        p = rng.permutation(A.shape[0])
+        A = A[p][:, p].tocsr()
+    E = ell_from_csr(A, dtype=dtype, row_pad_multiple=64, device=False)
+    data = np.asarray(E.data)
+    cols = np.asarray(E.cols)
+    nnz = np.asarray(E.row_nnz)
+    cfg = AmgConfig(splitting="pmis", interp="extended")
+    smask = np_strength_mask(data, cols, nnz, cfg.theta, cfg.strength)
+    perm = make_perm_np(A.shape[0], E.n_rows_pad, cfg.seed)
+    cf = np_pmis_splitting(cols, smask, perm, E.n_rows_pad)
+    return A, E, data, cols, nnz, smask, cf
+
+
+def _ell_to_csr_np(P):
+    data = np.asarray(P.data)
+    cols = np.asarray(P.cols)
+    nnz = np.asarray(P.row_nnz)
+    K, n_pad = data.shape
+    k = np.arange(K)[:, None]
+    rows = np.broadcast_to(np.arange(n_pad)[None, :], (K, n_pad))
+    m = k < nnz[None, :]
+    return sp.coo_matrix((data[m], (rows[m], cols[m])),
+                         shape=(n_pad, n_pad)).tocsr()
+
+
+@pytest.mark.parametrize("shuffle,p_max", [(False, 4), (True, 4),
+                                           (False, 0)])
+def test_device_extended_matches_host_oracle(shuffle, p_max):
+    """The jitted ext+i core produces exactly the scipy-product host
+    implementation's P (same formula, same truncation tie-breaking on
+    ascending column order)."""
+    A, E, data, cols, nnz, smask, cf = _problem(shuffle=shuffle)
+    P_ref, nc_ref = np_distance_two_interpolation(
+        data, cols, nnz, smask, cf, variant="extended", p_max=p_max)
+
+    Ed = ell_from_csr(A, dtype=np.float64, row_pad_multiple=64)
+    Pd, nc = extended_interpolation(
+        Ed, jnp.asarray(smask), jnp.asarray(cf), p_max=p_max)
+    assert int(nc) == nc_ref
+    got = _ell_to_csr_np(Pd)[:, :nc_ref]
+    ref = sp.csr_matrix(P_ref)
+    ref.sort_indices()
+    got.sort_indices()
+    d = got - ref.astype(np.float64)
+    scale = np.abs(ref.data).max()
+    assert np.abs(d.data).max() if d.nnz else 0.0 <= 1e-12 * scale
+
+
+def test_truncation_preserves_signed_row_sums():
+    """P_max truncation rescales + and - parts separately, so both signed
+    row sums (and hence interpolation of constants) are preserved."""
+    A, E, data, cols, nnz, smask, cf = _problem(shuffle=True)
+    P4, _ = np_distance_two_interpolation(data, cols, nnz, smask, cf,
+                                          variant="extended", p_max=3)
+    P0, _ = np_distance_two_interpolation(data, cols, nnz, smask, cf,
+                                          variant="extended", p_max=0)
+    s4 = np.asarray(P4.maximum(0).sum(axis=1)).ravel()
+    s0 = np.asarray(P0.maximum(0).sum(axis=1)).ravel()
+    assert np.allclose(s4, s0, atol=1e-12)
+    s4n = np.asarray(P4.minimum(0).sum(axis=1)).ravel()
+    s0n = np.asarray(P0.minimum(0).sum(axis=1)).ravel()
+    assert np.allclose(s4n, s0n, atol=1e-12)
+    assert np.diff(P4.indptr).max() <= 3
+
+
+def test_pmis_extended_converges_where_classical_diverges():
+    """End-to-end PMIS + ext+i on 3D Poisson converges in fewer iterations
+    than PMIS + direct (the round-3 measurement: classical diverges at
+    24^3, direct takes 17 at 32^3, ext+i 11)."""
+    from raptor_tpu.api import solve
+    from raptor_tpu.config import SolveConfig
+
+    A = poisson_3d(20)
+    b = np.ones(A.shape[0])
+    xs, info_ext = solve(
+        A, b, AmgConfig(splitting="pmis", smoother="mcgs",
+                        interp="extended"),
+        SolveConfig(tol=1e-8, refine=True))
+    assert info_ext["relres"] <= 1e-8
+    xd, info_dir = solve(
+        A, b, AmgConfig(splitting="pmis", smoother="mcgs", interp="direct"),
+        SolveConfig(tol=1e-8, refine=True))
+    assert info_ext["iterations"] < info_dir["iterations"]
+    assert np.linalg.norm(A @ xs - b) / np.linalg.norm(b) <= 1e-7
