@@ -425,7 +425,7 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None,
               cheb_lmax=lmax_s, n=n, ncolors=ncolors, Abell=Abell,
               binv=binv)
     )
-    inv = _dense_inverse(A)
+    inv = _dense_inverse(A, n_true=n)
     hier = Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
     if A_in is not None:
         from raptor_tpu.setup.hierarchy import attach_residual_lo

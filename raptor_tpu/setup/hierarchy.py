@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raptor_tpu.config import AmgConfig
-from raptor_tpu.core.ell import EllMatrix, ell_from_csr
+from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_rows
 from raptor_tpu.ops.sparse_ops import (
     _expand_candidates,
     _spgemm_fixed_full,
@@ -126,15 +126,26 @@ class Hierarchy:
         return len(self.levels)
 
 
-@jax.jit
-def _dense_inverse(A: EllMatrix) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_true",))
+def _dense_inverse(A: EllMatrix, n_true: int | None = None) -> jax.Array:
     """Explicit dense inverse of the (identity-padded, SPD) coarsest
     operator: the coarse solve is then one MXU matvec (triangular
-    back-substitution is sequential and latency-bound on TPU)."""
+    back-substitution is sequential and latency-bound on TPU).
+
+    ``n_true`` (static): logical row count.  Rows >= n_true are decoupled
+    unit diagonals, so the inverse is blockdiag(inv(A[:m,:m]), I) with m
+    the 8-padded n_true — O(m^3) instead of O(n_pad^3), which matters when
+    the padding is heavy (fine_layout='banded' pads every level to the
+    1024-lcm: a 64-dof coarsest level padded to 8192 cost a full 8192^3/3
+    host inversion before this)."""
     n = A.n_rows_pad
     vals = jnp.where(A.slot_mask(), A.data, 0)
     dense = jnp.zeros((n, n), A.dtype).at[A.row_index(), A.cols].add(vals)
-    return jnp.linalg.inv(dense)
+    m = n if n_true is None else min(pad_rows(n_true, 8), n)
+    if m == n:
+        return jnp.linalg.inv(dense)
+    inv_small = jnp.linalg.inv(dense[:m, :m])
+    return jnp.eye(n, dtype=A.dtype).at[:m, :m].set(inv_small)
 
 
 def _mcgs_color(A: EllMatrix, cfg: AmgConfig):
@@ -482,7 +493,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         Level(A=A, dinv=dinv, P=None, R=None, color=color, cheb_lmax=lmax,
               n=n, ncolors=ncolors)
     )
-    inv = _dense_inverse(A)
+    inv = _dense_inverse(A, n_true=n)
     hier = Hierarchy(levels=tuple(levels), coarse_inv=inv, config=config)
     if A_in is not None:
         hier = attach_residual_lo(hier, A_in)

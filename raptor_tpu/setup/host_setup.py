@@ -588,7 +588,12 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     rows = np.broadcast_to(np.arange(A.n_rows_pad)[None, :], data.shape)
     m = k < nnz[None, :]
     np.add.at(dense, (rows[m], colsA[m]), data[m])
-    inv = np.linalg.inv(dense)
+    # rows >= n are decoupled unit diagonals: invert only the logical
+    # block (heavy padding — fine_layout='banded' pads every level to the
+    # 1024-lcm — otherwise costs an O(n_pad^3) LAPACK inversion here)
+    mtrue = min(pad_rows(n, 8), A.n_rows_pad)
+    inv = np.eye(A.n_rows_pad, dtype=data.dtype)
+    inv[:mtrue, :mtrue] = np.linalg.inv(dense[:mtrue, :mtrue])
     out.append((A, dinv, None, None, color, lmax, n, ncolors))
 
     # leaves stay host numpy; build_hierarchy.stage_hierarchy uploads the
