@@ -43,6 +43,14 @@ class AmgConfig:
     # smoothed aggregation only:
     num_candidates: int = 1
     sa_omega: float = 4.0 / 3.0
+    # filtered SA (classic "filtered smoothed aggregation"): before the
+    # prolongator-smoothing product D^{-1} A P_t, drop off-node entries
+    # failing |a_ij| >= sa_filter*sqrt(|a_ii a_jj|) and lump them into the
+    # diagonal (A_F keeps A's action on constants).  Cuts the smoothed P's
+    # fill — and hence Galerkin coarse-operator complexity — on elasticity
+    # where weak cross couplings otherwise smear every aggregate wide.
+    # The Galerkin RAP itself stays on the UNFILTERED A.  0 disables.
+    sa_filter: float = 0.0
     # interpolation truncation for the distance-two interps (hypre's
     # P_max_elmts): keep the p_max_elements largest-|w| entries per row,
     # rescaling +/- parts separately; 0 = no truncation.  Caps the Galerkin
@@ -118,9 +126,16 @@ PRESETS: dict[str, AmgConfig] = {
     # layout (bell_spmv, batched 3x3 blocks on the MXU — BASELINE.json:5,10)
     # theta=0.08: the symmetric SA strength test at 0.16 leaves elasticity
     # aggregates ~2 nodes (the coarsening stalls into a one-level direct
-    # solve); 0.08 yields ~30-node aggregates and a genuine multilevel cycle
+    # solve); 0.08 yields ~30-node aggregates and a genuine multilevel cycle.
+    # W-cycle: 17 -> 14 PCG iterations at n=22.8k, and with the dense MXU
+    # coarse tail folding every level below tail_max_n the W's doubled
+    # coarse visits fold into the SAME one matvec — W costs what V costs.
+    # (sa_filter measured on this problem: complexity 1.18 -> 1.13 but
+    # 17 -> 38 iterations — not worth it here; the knob stays available
+    # for fill-heavy SA problems.)
     "config4": AmgConfig(splitting="aggregation", interp="smoothed",
-                         smoother="block_cheb", num_candidates=6, theta=0.08),
+                         smoother="block_cheb", num_candidates=6, theta=0.08,
+                         cycle="W"),
     # 5: 3D Poisson 256^3 sharded: distributed hierarchy + halo exchange.
     # extended+i interpolation (the standard PMIS companion): PMIS + direct
     # degrades with size (17/21/26 PCG iterations at 32/48/64^3) while

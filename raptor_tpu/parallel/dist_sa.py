@@ -408,6 +408,31 @@ def _run_qr(mesh, plan_qr, B_sh, tbl_ext, wmask, nc: int, bs: int,
     return run(B_sh, tbl_ext, wmask, plan_qr)
 
 
+def _sm_lumped_filter(A_loc: EllMatrix, plan, gext0, tol: float, bs: int):
+    """Shard-local mirror of setup.aggregation._lumped_filter (filtered
+    SA): the column diagonal magnitudes arrive by halo exchange, the
+    same-node test runs on GLOBAL lane ids (take(gext0, cols)), and the
+    lump accumulates in the identical ELL slot order as the single-device
+    path — operator values stay bit-identical to the unsharded build."""
+    n_local = A_loc.n_rows_pad
+    ri = A_loc.row_index()
+    valid = A_loc.slot_mask()
+    isdiag = (A_loc.cols == ri) & valid
+    dabs = jnp.abs(A_loc.diagonal())
+    dj = jnp.take(halo_exchange(dabs, plan, AXIS), A_loc.cols)
+    thr = tol * jnp.sqrt(dabs[None, :] * dj)
+    colsg = jnp.take(gext0, A_loc.cols)
+    me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+    lane_g = me * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    samenode = (colsg // bs) == (lane_g // bs)[None, :]
+    drop = valid & ~samenode & (jnp.abs(A_loc.data) < thr)
+    lump = jnp.sum(jnp.where(drop, A_loc.data, 0), axis=0)
+    data = (jnp.where(drop, 0, A_loc.data)
+            + jnp.where(isdiag, lump[None, :], 0))
+    cols = jnp.where(drop, ri, A_loc.cols)
+    return dataclasses.replace(A_loc, data=data, cols=cols)
+
+
 def _run_smooth(mesh, A_dist, Pt_data, Pt_cols, Pt_nnz, cfg: AmgConfig,
                 nc_glob: int, bs: int, ndev: int, cols_np, nnz_np):
     """P = (I - omega D^{-1} A) P_t plus the level's smoother data (dinv,
@@ -430,7 +455,9 @@ def _run_smooth(mesh, A_dist, Pt_data, Pt_cols, Pt_nnz, cfg: AmgConfig,
         lmax = _dist_lmax(A_loc, plan, dinv, n_local)
         omega = (cfg.sa_omega / lmax).astype(A_loc.dtype)
         P_ext = _exchange_rows(Pl, plan, nc_glob)
-        k_dap = jax.lax.pmax(_spgemm_width(A_loc, P_ext), AXIS)
+        A_w = (_sm_lumped_filter(A_loc, plan, gext[0], cfg.sa_filter, bs)
+               if cfg.sa_filter > 0 else A_loc)
+        k_dap = jax.lax.pmax(_spgemm_width(A_w, P_ext), AXIS)
         return dinv, lmax, k_dap
 
     run0 = _shmap(mesh, body,
@@ -450,7 +477,9 @@ def _run_smooth(mesh, A_dist, Pt_data, Pt_cols, Pt_nnz, cfg: AmgConfig,
                        n_rows_pad=n_local, n_cols_pad=nc_glob)
         P_ext = _exchange_rows(Pl, plan, nc_glob)
         omega = (cfg.sa_omega / lmax_r).astype(A_loc.dtype)
-        W = A_loc.scale_rows(dinv_sh * omega)
+        A_sm = (_sm_lumped_filter(A_loc, plan, gext[0], cfg.sa_filter, bs)
+                if cfg.sa_filter > 0 else A_loc)
+        W = A_sm.scale_rows(dinv_sh * omega)
         DAP = spgemm_fixed(W, P_ext, k_out=k_dap)
         DAP = dataclasses.replace(DAP, shape=(n_local, nc_glob),
                                   n_cols_pad=nc_glob)

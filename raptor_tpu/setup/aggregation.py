@@ -314,6 +314,31 @@ def _tentative_jit(agg, B, bs: int, n_agg: int, max_nodes: int, nc: int):
     return P_data, P_cols, p_nnz, Bc
 
 
+@partial(jax.jit, static_argnames=("bs",))
+def _lumped_filter(A: EllMatrix, tol: float, bs: int) -> EllMatrix:
+    """Lumped strength filtering of A for prolongator smoothing (filtered
+    SA, config.sa_filter): off-node entries failing the symmetric test
+    |a_ij| >= tol*sqrt(|a_ii a_jj|) are dropped and LUMPED into the
+    diagonal, so A_F preserves A's row action on constants while the
+    smoothed P = (I - omega D^{-1} A_F) P_t keeps only meaningful fill.
+    Dropped slots point at the row's diagonal with value 0 (the SpGEMM
+    merge collapses duplicates), so the product pattern shrinks too."""
+    ri = A.row_index()
+    valid = A.slot_mask()
+    isdiag = (A.cols == ri) & valid
+    dabs = jnp.abs(A.diagonal())
+    dj = jnp.take(dabs, A.cols)
+    thr = tol * jnp.sqrt(dabs[None, :] * dj)
+    samenode = (A.cols // bs) == (ri // bs)
+    drop = valid & ~samenode & (jnp.abs(A.data) < thr)
+    lump = jnp.sum(jnp.where(drop, A.data, 0), axis=0)
+    data = jnp.where(drop, 0, A.data) + jnp.where(isdiag, lump[None, :], 0)
+    cols = jnp.where(drop, ri, A.cols)
+    import dataclasses
+
+    return dataclasses.replace(A, data=data, cols=cols)
+
+
 # ---------------------------------------------------------------------------
 # 6. Hierarchy driver
 # ---------------------------------------------------------------------------
@@ -400,7 +425,9 @@ def build_sa_hierarchy(A, config: AmgConfig, dtype=jnp.float32, B=None,
         dinv = 1.0 / jnp.where(dA != 0, dA, 1.0)
         lmax = estimate_lmax(A, dinv)
         omega = config.sa_omega / float(lmax)
-        DA_P = spgemm(A.scale_rows(dinv * omega), P_t)
+        A_sm = (_lumped_filter(A, config.sa_filter, bs)
+                if config.sa_filter > 0 else A)
+        DA_P = spgemm(A_sm.scale_rows(dinv * omega), P_t)
         P = ell_add(P_t, DA_P, alpha=1.0, beta=-1.0)
         R = ell_transpose(P)
         AP = spgemm(A, P)

@@ -286,6 +286,26 @@ def _np_level_aux(A_ell: EllMatrix, config: AmgConfig):
     return dinv, color, ncolors, lmax
 
 
+def _np_lumped_filter(A_csr, tol, bs: int, dtype):
+    """NumPy mirror of setup.aggregation._lumped_filter (filtered SA):
+    drop off-node entries failing |a_ij| >= tol*sqrt(|a_ii a_jj|), lump
+    them into the diagonal.  Same ascending-column accumulation order as
+    the device ELL slot sum, so results match the device path."""
+    import scipy.sparse as sp
+
+    coo = A_csr.tocoo()
+    d = np.abs(A_csr.diagonal())
+    thr = dtype(tol) * np.sqrt(d[coo.row] * d[coo.col])  # fp32 chain, as device
+    samenode = (coo.row // bs) == (coo.col // bs)
+    drop = ~samenode & (np.abs(coo.data) < thr)
+    lump = np.zeros(A_csr.shape[0], dtype)
+    np.add.at(lump, coo.row[drop], coo.data[drop])
+    keep = ~drop
+    Af = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                       shape=A_csr.shape, dtype=dtype)
+    return (Af + sp.diags(lump, dtype=dtype)).tocsr()
+
+
 # ---------------------------------------------------------------------------
 # the host SA level loop
 # ---------------------------------------------------------------------------
@@ -355,7 +375,9 @@ def host_build_sa_hierarchy(A, config: AmgConfig, dtype=np.float32, B=None,
         d0, c0, z0 = _ell_np(A_ell)
         lmax = _np_estimate_lmax(d0, c0, dinv_v)
         omega = dtype(config.sa_omega) / dtype(lmax)
-        P = (P_t - sp.diags(dinv_v * omega) @ (A_csr @ P_t)).tocsr()
+        A_sm = (_np_lumped_filter(A_csr, config.sa_filter, bs, dtype)
+                if config.sa_filter > 0 else A_csr)
+        P = (P_t - sp.diags(dinv_v * omega) @ (A_sm @ P_t)).tocsr()
         P.eliminate_zeros()
         Ac = (P.T @ (A_csr @ P)).tocsr()
 

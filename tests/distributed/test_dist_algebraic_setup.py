@@ -480,3 +480,40 @@ def test_dist_sa_scalar():
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
     assert int(info.iterations) <= 15
+
+
+def test_dist_sa_filter_matches_single():
+    """Filtered SA (config.sa_filter) under shard_map: the shard-local
+    lumped filter (halo-delivered column diagonals, global-id same-node
+    test) reproduces the single-device filtered build — coarse-operator
+    fp64 entry-sum fingerprint agrees and the solve converges."""
+    from raptor_tpu.gallery import elasticity_3d
+    from raptor_tpu.parallel.dist_sa import dist_build_sa_hierarchy
+    from raptor_tpu.setup.aggregation import build_sa_hierarchy
+
+    A, B, _ = elasticity_3d(8)  # n=1344
+    cfg = AmgConfig(splitting="aggregation", interp="smoothed",
+                    smoother="block_cheb", num_candidates=6, theta=0.08,
+                    sa_filter=0.1, pad_multiple=8 * NDEV, coarse_size=64,
+                    tail_max_n=0)
+    mesh = make_solve_mesh(NDEV)
+    dh = dist_build_sa_hierarchy(A, cfg, B=B, mesh=mesh, tail_size=256,
+                                 dtype=np.float64)
+    hier = build_sa_hierarchy(A, cfg, B=B, dtype=np.float64)
+    lt, lr = dh.tail.levels[0], hier.levels[1]
+    dt, zt = np.asarray(lt.A.data, np.float64), np.asarray(lt.A.row_nnz)
+    dr, zr = np.asarray(lr.A.data, np.float64), np.asarray(lr.A.row_nnz)
+    mt = np.arange(dt.shape[0])[:, None] < zt[None, :]
+    mr = np.arange(dr.shape[0])[:, None] < zr[None, :]
+    n_true = lr.n
+    st = np.sum(np.where(mt, dt, 0.0)) - (dt.shape[1] - n_true)
+    sr = np.sum(np.where(mr, dr, 0.0)) - (dr.shape[1] - n_true)
+    assert np.isclose(st, sr, rtol=1e-9), (st, sr)
+
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=300)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7

@@ -193,3 +193,63 @@ def test_aggregate_size_distribution_at_scale():
     small = (sizes < 2).sum()
     assert small / n_agg < 0.02, (small, n_agg)
     assert 8 <= sizes.mean() <= AGG_SIZE_CAP, sizes.mean()
+
+
+def test_sa_lumped_filter_preserves_row_action():
+    """Filtered SA (config.sa_filter): the lumped-filtered operator used
+    for prolongator smoothing keeps A's action on constants exactly
+    (dropped off-node entries move to the diagonal), and host/device
+    filters agree."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.setup.aggregation import _lumped_filter
+    from raptor_tpu.setup.host_aggregation import _np_lumped_filter
+
+    A, B, _ = elasticity_3d(4)
+    E = ell_from_csr(A, dtype=np.float32, row_pad_multiple=24)
+    for bs in (1, 3):
+        Af = _lumped_filter(E, 0.1, bs)
+        # row action on the constant vector is preserved bitwise-ish
+        one = jnp.ones(E.n_rows_pad, jnp.float32)
+        from raptor_tpu.ops.sparse_ops import spmv
+
+        ya = np.asarray(spmv(E, one))
+        yf = np.asarray(spmv(Af, one))
+        np.testing.assert_allclose(yf, ya, rtol=2e-6, atol=2e-6 * np.abs(ya).max())
+        # host mirror produces the same filtered operator
+        import scipy.sparse as sp
+
+        A32 = sp.csr_matrix(A).astype(np.float32)
+        n_pad = E.n_rows_pad
+        n = A.shape[0]
+        Ap = sp.block_diag(
+            [A32, sp.identity(n_pad - n, dtype=np.float32, format="csr")],
+            format="csr") if n_pad > n else A32
+        Af_np = _np_lumped_filter(Ap, 0.1, bs, np.float32)
+        Af_dev = ell_to_csr(Af)
+        d = (Af_dev - Af_np).tocoo()
+        assert np.abs(d.data).max(initial=0.0) <= 1e-5 * np.abs(Ap.data).max()
+        # something was actually dropped at this tolerance
+        assert Af_np.nnz < Ap.nnz
+
+
+def test_sa_filter_converges_and_shrinks_complexity():
+    """sa_filter cuts the Galerkin coarse-operator fill on elasticity
+    while still converging to 1e-8."""
+    import dataclasses
+
+    A, B = elasticity_3d(10)[:2]  # n=3000: small sizes show no fill delta
+    cfg0 = AmgConfig(splitting="aggregation", interp="smoothed",
+                     smoother="block_cheb", num_candidates=6, theta=0.08,
+                     coarse_size=16)
+    cfgf = dataclasses.replace(cfg0, sa_filter=0.1)
+    from raptor_tpu.setup.aggregation import build_sa_hierarchy
+
+    h0 = build_sa_hierarchy(A, cfg0, B=B)
+    hf = build_sa_hierarchy(A, cfgf, B=B)
+    nnz = lambda h: sum(float(np.asarray(lv.A.row_nnz).sum())
+                        for lv in h.levels[1:])
+    assert nnz(hf) < nnz(h0)
+    b = default_rhs(A.shape[0])
+    x, info = solve(A, b, cfgf, SolveConfig(tol=1e-8, refine=True), hier=hf)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
