@@ -299,18 +299,12 @@ def main():
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
-    if jax.default_backend() != "cpu":
-        # persistent compile cache for TPU runs: remote compiles dominate
-        # every cold measurement (63s structured 128^3, 265s banded 48^3
-        # refined solve); repeat bench runs on the same machine then start
-        # warm.  CPU stays off — XLA:CPU executable deserialization has
-        # segfaulted under this jax pin (tests/conftest.py).
-        import pathlib
+    # persistent compile cache for TPU runs (no-op on CPU): remote compiles
+    # dominate every cold measurement (63s structured 128^3, 265s banded
+    # 48^3 refined solve); repeat bench runs on the same machine start warm
+    from raptor_tpu.utils.compile_cache import enable_persistent_cache
 
-        cache = pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"
-        cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    enable_persistent_cache()
     on_tpu = dev.platform not in ("cpu",)
     size = args.size or (128 if on_tpu else 32)
     log(f"device={dev} platform={dev.platform} size={size}^3")

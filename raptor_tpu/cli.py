@@ -237,6 +237,14 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    # TPU compiles through the remote tunnel dominate every cold command
+    # (e.g. `bench --preset config4` measured 98 s setup at n=1344, nearly
+    # all of it compiles); share bench.py's persistent on-disk cache so
+    # repeat CLI runs start warm
+    from raptor_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser(prog="raptor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
