@@ -22,6 +22,9 @@ class AmgConfig:
                  plain classical diverges off PMIS C/F sets at scale)
                | 'smoothed' (SA)
     smoother:  'jacobi' | 'mcgs' (multicolor/red-black Gauss-Seidel)
+               | 'tsgs' (two-stage Gauss-Seidel: the triangular solve
+                 replaced by gs_inner Jacobi iterations — PAPERS.md:9;
+                 coloring-free, fully parallel; algebraic engine)
                | 'chebyshev' | 'cheb4' (fourth-kind Chebyshev)
                | 'block_jacobi' | 'block_cheb' (block-diag-preconditioned,
                SA/elasticity levels run through the BlockELL layout)
@@ -36,6 +39,9 @@ class AmgConfig:
     nu1: int = 1
     nu2: int = 1
     cheb_degree: int = 3
+    # two-stage GS only: inner Jacobi iterations approximating the
+    # triangular solve (0 = plain unweighted Jacobi; more = closer to GS)
+    gs_inner: int = 2
     max_levels: int = 20
     coarse_size: int = 64
     cycle: str = "V"

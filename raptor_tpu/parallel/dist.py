@@ -439,6 +439,29 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
                 r = b - sp(x)
                 x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
         return x
+    if smoother == "tsgs":
+        # hybrid two-stage Gauss-Seidel (PAPERS.md:9): the inner Jacobi
+        # series runs on the PROCESSOR-LOCAL strict triangle (halo columns
+        # masked out of the triangular part; they couple only through the
+        # outer residual, exactly RAPtor's hybrid-GS processor split) —
+        # no communication inside the inner iterations.
+        from raptor_tpu.solve.smoothers import triangular_apply
+
+        Aloc = lev.A.local_ell()
+        nloc = Aloc.n_rows_pad
+
+        def tri(z):
+            z_ext = jnp.zeros(Aloc.n_cols_pad, z.dtype).at[:nloc].set(z)
+            return triangular_apply(Aloc, z_ext, upper=backward,
+                                    col_bound=nloc)
+
+        for _ in range(sweeps):
+            r = b - sp(x)
+            z = lev.dinv * r
+            for _j in range(cfg.gs_inner):
+                z = lev.dinv * (r - tri(z))
+            x = x + z
+        return x
     if smoother == "chebyshev":
         lmax = lev.cheb_lmax
         lmin = lmax / 30.0

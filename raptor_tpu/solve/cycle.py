@@ -22,7 +22,9 @@ from typing import TYPE_CHECKING
 
 from raptor_tpu.config import AmgConfig
 from raptor_tpu.ops.sparse_ops import spmv
-from raptor_tpu.solve.smoothers import chebyshev, chebyshev4, jacobi, multicolor_gs
+from raptor_tpu.solve.smoothers import (
+    chebyshev, chebyshev4, jacobi, multicolor_gs, triangular_apply,
+    two_stage_gs)
 
 if TYPE_CHECKING:  # avoid a circular import (hierarchy imports smoothers)
     from raptor_tpu.setup.hierarchy import Hierarchy, Level
@@ -69,6 +71,17 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
             for c in order:
                 r = b - sp(x)
                 x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
+        return x
+    if cfg.smoother == "tsgs":
+        # two-stage GS: outer residual through the fast layout, inner
+        # triangular Jacobi series on the scalar ELL (same matrix, same
+        # ordering — apply_op's fallback path)
+        for _ in range(sweeps):
+            r = b - sp(x)
+            z = lev.dinv * r
+            for _j in range(cfg.gs_inner):
+                z = lev.dinv * (r - triangular_apply(lev.A, z, upper=backward))
+            x = x + z
         return x
     if cfg.smoother == "chebyshev":
         lmax = lev.cheb_lmax
@@ -145,6 +158,9 @@ def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
             lev.A, lev.dinv, b, x, lev.color, ncolors=lev.ncolors,
             sweeps=sweeps, backward=backward,
         )
+    if cfg.smoother == "tsgs":
+        return two_stage_gs(lev.A, lev.dinv, b, x, sweeps=sweeps,
+                            inner=cfg.gs_inner, backward=backward)
     if cfg.smoother == "chebyshev":
         lmax = lev.cheb_lmax
         return chebyshev(

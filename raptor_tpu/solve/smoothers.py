@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from raptor_tpu.core.ell import EllMatrix
 from raptor_tpu.ops.sparse_ops import spmv
 
-__all__ = ["jacobi", "multicolor_gs", "chebyshev", "chebyshev4", "estimate_lmax",
-           "greedy_coloring_host"]
+__all__ = ["jacobi", "multicolor_gs", "two_stage_gs", "triangular_apply",
+           "chebyshev", "chebyshev4", "estimate_lmax", "greedy_coloring_host"]
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
@@ -62,6 +62,51 @@ def multicolor_gs(
             r = b - spmv(A, x)
             x = x + jnp.where(color == c, dinv * r, 0)
         return x
+
+    return jax.lax.fori_loop(0, sweeps, sweep, x)
+
+
+def triangular_apply(A: EllMatrix, x, upper: bool, col_bound: int | None = None):
+    """y = L @ x (strict lower triangle) or U @ x (strict upper).
+
+    A masked ELL SpMV: entries whose column fails the triangle test are
+    zeroed at trace time (padding slots have ``col == row`` and are excluded
+    by both strict inequalities).  ``col_bound`` additionally restricts to
+    columns < bound — the distributed hybrid variant masks halo columns out
+    of the triangle so only processor-local coupling enters the inner solve.
+    """
+    import dataclasses
+
+    rows = A.row_index()
+    mask = (A.cols > rows) if upper else (A.cols < rows)
+    if col_bound is not None:
+        mask = mask & (A.cols < col_bound)
+    return spmv(dataclasses.replace(A, data=jnp.where(mask, A.data, 0)), x)
+
+
+@partial(jax.jit, static_argnames=("sweeps", "inner", "backward"))
+def two_stage_gs(A: EllMatrix, dinv, b, x, sweeps: int = 1, inner: int = 2,
+                 backward: bool = False):
+    """Two-stage Gauss-Seidel (PAPERS.md:9, Yamazaki et al.): the exact
+    triangular solve of a GS sweep, x <- x + (D+L)^{-1} (b - A x), is
+    replaced by ``inner`` Jacobi iterations on the triangular system —
+
+        z_0 = D^{-1} r,   z_{j+1} = D^{-1} (r - L z_j)
+
+    — a truncated Neumann series for (D+L)^{-1} built entirely from masked
+    SpMVs, so the sweep is fully parallel on the VPU with no coloring and no
+    sequential dependence.  ``backward=True`` uses the strict upper triangle;
+    a forward-pre / backward-post pair keeps the V-cycle symmetric for CG
+    (the inner series for (D+U)^{-1} is the transpose of the forward one on
+    symmetric A).  inner=0 degenerates to unweighted Jacobi; inner -> inf
+    recovers exact GS.
+    """
+    def sweep(_, x):
+        r = b - spmv(A, x)
+        z = dinv * r
+        for _j in range(inner):
+            z = dinv * (r - triangular_apply(A, z, upper=backward))
+        return x + z
 
     return jax.lax.fori_loop(0, sweeps, sweep, x)
 

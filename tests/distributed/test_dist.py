@@ -125,6 +125,30 @@ def test_dist_solve_mcgs():
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
 
 
+def test_dist_solve_tsgs():
+    """Hybrid two-stage GS under shard_map (PAPERS.md:9): the inner Jacobi
+    triangular series runs on the processor-LOCAL strict triangle (halo
+    columns excluded), so the sharded preconditioner is not bit-identical to
+    the single-device one — the test asserts convergence and an iteration
+    count within +2 of the single-device tsgs solve (the classic hybrid-GS
+    degradation bound at this size)."""
+    A = poisson_2d(24)
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", smoother="tsgs",
+                    pad_multiple=8 * NDEV, coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+    _, info_ref = solve_hier(hier, bd, tol=1e-8, maxiter=100, krylov="cg")
+    dh = distribute_hierarchy(hier, NDEV, tail_size=200)
+    mesh = make_solve_mesh(NDEV)
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    assert float(info.relres) <= 1e-8
+    assert int(info.iterations) <= int(info_ref.iterations) + 2
+    xn = np.asarray(x)[:n]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_dist_spmv_random_matrix_property(seed):
     """Property test (SURVEY.md §4.4): for random sparse SPD-patterned
