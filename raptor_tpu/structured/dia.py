@@ -272,6 +272,31 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     return y
 
 
+def dia_tri_spmv(A: DiaMatrix, x: jax.Array, upper: bool) -> jax.Array:
+    """Strict-triangular product L @ x (lower) or U @ x (upper): the rolled
+    read pattern of ``dia_spmv`` restricted to diagonals on one side of the
+    main one (linear offset < 0 is exactly the strict lower triangle).  Used
+    by the two-stage Gauss-Seidel inner Jacobi series (solve/smoothers.py,
+    PAPERS.md:9); the handful of one-sided rolls fuses under XLA, so no
+    dedicated kernel is needed.
+    """
+    lins = A.linear_offsets()
+    cp = A.const_planes
+    y = jnp.zeros_like(x)
+    for k, o in enumerate(lins):
+        if o == 0 or (o > 0) != upper:
+            continue
+        shifted = jnp.roll(x, -o)
+        if cp is not None and cp[k] is not None:
+            c = jnp.asarray(cp[k], x.dtype)
+            plane = jnp.where(boundary_mask_traced(A.dims, A.offsets[k]),
+                              c, jnp.asarray(0, x.dtype))
+        else:
+            plane = A.data[k]
+        y = y + plane * shifted
+    return y
+
+
 def dia_transpose(A: DiaMatrix) -> DiaMatrix:
     """A.T: diagonal at -o holds roll(data_o, lin(o)).  Offsets re-sorted so
     structurally-equal operators have identical (static) metadata."""

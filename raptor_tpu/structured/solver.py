@@ -569,6 +569,18 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
                 upd = lev.red if red_turn else ~lev.red
                 x = x + jnp.where(upd, lev.dinv * r, 0)
         return x
+    if cfg.smoother == "tsgs":
+        # two-stage Gauss-Seidel (PAPERS.md:9): inner Jacobi series on the
+        # strict triangle via one-sided rolled reads (dia_tri_spmv)
+        from raptor_tpu.structured.dia import dia_tri_spmv
+
+        for _ in range(sweeps):
+            r = b - dia_spmv(lev.A, x)
+            z = lev.dinv * r
+            for _j in range(cfg.gs_inner):
+                z = lev.dinv * (r - dia_tri_spmv(lev.A, z, upper=backward))
+            x = x + z
+        return x
     if cfg.smoother == "cheb4":
         r = b - dia_spmv(lev.A, x)
         d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)

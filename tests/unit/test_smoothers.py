@@ -115,6 +115,56 @@ def test_tsgs_pcg_convergence_and_symmetry():
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
 
 
+def test_dia_tri_spmv_matches_scipy():
+    """Structured-engine triangular apply: one-sided rolled reads equal the
+    scipy strict triangles of the assembled operator."""
+    import jax.numpy as jnp2
+
+    from raptor_tpu.structured import dia_from_stencil, dia_to_scipy
+    from raptor_tpu.structured.dia import dia_tri_spmv
+
+    st = np.zeros((3, 3))
+    st[1, 1] = 4.0
+    st[0, 1] = st[2, 1] = st[1, 0] = st[1, 2] = -1.0
+    A = dia_from_stencil(st, (12, 12), dtype=jnp2.float64)
+    a_sp = dia_to_scipy(A)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(A.n)
+    yl = np.asarray(dia_tri_spmv(A, jnp2.asarray(x), upper=False))
+    yu = np.asarray(dia_tri_spmv(A, jnp2.asarray(x), upper=True))
+    assert np.allclose(yl, sp.tril(a_sp, k=-1) @ x, atol=1e-12)
+    assert np.allclose(yu, sp.triu(a_sp, k=1) @ x, atol=1e-12)
+
+
+def test_structured_tsgs_solve():
+    """Structured engine end-to-end with tsgs smoothing: converges to 1e-8
+    in at most the Jacobi iteration count."""
+    import jax.numpy as jnp2
+
+    from raptor_tpu.gallery import default_rhs as rhs
+    from raptor_tpu.structured import (
+        build_structured_hierarchy, dia_from_stencil, structured_solve)
+
+    st = np.zeros((3, 3, 3))
+    st[1, 1, 1] = 6.0
+    for d in range(3):
+        i = [1, 1, 1]
+        for s in (0, 2):
+            i[d] = s
+            st[tuple(i)] = -1.0
+        i[d] = 1
+    A = dia_from_stencil(st, (16, 16, 16), dtype=jnp2.float64)
+    b = jnp2.asarray(rhs(A.n, dtype=np.float64))
+    iters = {}
+    for sm in ("jacobi", "tsgs"):
+        cfg = AmgConfig(smoother=sm, coarse_size=64)
+        hier = build_structured_hierarchy(A, cfg, dim_policy="size")
+        x, info = structured_solve(hier, b, tol=1e-8)
+        assert float(info.relres) <= 1e-8
+        iters[sm] = int(info.iterations)
+    assert iters["tsgs"] <= iters["jacobi"], iters
+
+
 def test_tsgs_preconditioner_is_symmetric():
     """M = cycle(e_i) columns form a symmetric matrix for the fwd/bwd
     two-stage pair on symmetric A (required for CG theory)."""
