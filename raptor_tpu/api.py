@@ -18,7 +18,7 @@ from raptor_tpu.config import AmgConfig, SolveConfig, PRESETS
 from raptor_tpu.core.ell import EllMatrix, pad_rows, pad_vector
 from raptor_tpu.setup.hierarchy import Hierarchy, build_hierarchy, hierarchy_stats
 from raptor_tpu.solve.cycle import cycle
-from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.solve.krylov import bicgstab, gmres, krylov_dispatch, pcg
 
 __all__ = ["setup", "solve", "solve_hier", "AmgConfig", "SolveConfig", "PRESETS"]
 
@@ -248,7 +248,7 @@ def solve_hier_refined(
         xh, xl, rh, rl, relres, it, k = s
         return (k < outer) & (relres > tol)
 
-    inner = pcg if krylov == "cg" else bicgstab
+    inner = krylov_dispatch(krylov)
 
     def body(s):
         xh, xl, rh, rl, relres, it, k = s
@@ -297,6 +297,9 @@ def solve_hier(
         return pcg(apply_A, b, apply_M, tol=tol, maxiter=maxiter, x0=x0)
     if krylov == "bicgstab":
         return bicgstab(apply_A, b, apply_M, tol=tol, maxiter=maxiter, x0=x0)
+    if krylov in ("gmres", "fgmres"):
+        return gmres(apply_A, b, apply_M, tol=tol, maxiter=maxiter, x0=x0,
+                     flexible=(krylov == "fgmres"))
     if krylov == "none":  # stationary AMG iteration
         def body(s):
             x, r, it, status, hist = s
@@ -372,8 +375,8 @@ def solve(
         )
         return _finish(x, info, n, hier, pm)
 
-    if solve_config.refine_device and solve_config.krylov in ("cg",
-                                                              "bicgstab"):
+    if solve_config.refine_device and solve_config.krylov in (
+            "cg", "bicgstab", "gmres", "fgmres"):
         # fully on-device refinement with compensated-fp32 residuals;
         # b enters as an exact df64 pair so fp64 inputs are certified
         # against the UNROUNDED right-hand side

@@ -103,7 +103,7 @@ class AmgConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SolveConfig:
-    krylov: str = "cg"  # 'cg' | 'bicgstab' | 'none' (stationary cycles)
+    krylov: str = "cg"  # 'cg' | 'bicgstab' | 'gmres' | 'fgmres' | 'none'
     tol: float = 1e-8
     maxiter: int = 200
     # mixed precision: inner solve dtype / outer iterative-refinement dtype

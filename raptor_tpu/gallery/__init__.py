@@ -6,6 +6,7 @@ from raptor_tpu.gallery.stencils import (
     anisotropic_2d,
     diffusion_stencil_2d,
     elasticity_3d,
+    convection_diffusion_2d,
     default_rhs,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "anisotropic_2d",
     "diffusion_stencil_2d",
     "elasticity_3d",
+    "convection_diffusion_2d",
     "default_rhs",
 ]

@@ -26,6 +26,7 @@ __all__ = [
     "anisotropic_2d",
     "diffusion_stencil_2d",
     "elasticity_3d",
+    "convection_diffusion_2d",
     "default_rhs",
 ]
 
@@ -302,6 +303,46 @@ def elasticity_3d(
     B[1::3, 4], B[2::3, 4] = -c0[:, 2], c0[:, 1]  # rot x
     B[0::3, 5], B[2::3, 5] = c0[:, 2], -c0[:, 0]  # rot y
     return A, B, coords
+
+
+def convection_diffusion_2d(
+    nx: int,
+    ny: int | None = None,
+    epsilon: float = 1e-2,
+    velocity: tuple[float, float] = (1.0, 2.0),
+) -> sp.csr_matrix:
+    """Nonsymmetric 2D convection-diffusion  -eps*Lap(u) + v . grad(u)
+    on a regular grid (h = 1/(n+1)), first-order upwind convection.
+
+    The standard nonsymmetric AMG/Krylov test problem (solver libraries in
+    this domain pair it with GMRES/BiCGStab; CG is inapplicable).  Upwinding
+    keeps the operator an M-matrix, so classical coarsening still applies.
+    """
+    ny = ny or nx
+    h = 1.0 / (nx + 1)
+    bx, by = float(velocity[0]), float(velocity[1])
+    st = np.zeros((3, 3))
+    # diffusion (5-point), scaled by eps/h^2; row-scale by h^2 for conditioning
+    st[1, 1] += 4.0 * epsilon
+    st[0, 1] += -epsilon
+    st[2, 1] += -epsilon
+    st[1, 0] += -epsilon
+    st[1, 2] += -epsilon
+    # upwind convection, scaled h (after the h^2 row scaling): b>0 uses the
+    # backward difference (coupling to the upwind neighbor)
+    if bx >= 0:
+        st[1, 1] += bx * h
+        st[0, 1] += -bx * h
+    else:
+        st[1, 1] += -bx * h
+        st[2, 1] += bx * h
+    if by >= 0:
+        st[1, 1] += by * h
+        st[1, 0] += -by * h
+    else:
+        st[1, 1] += -by * h
+        st[1, 2] += by * h
+    return stencil_grid(st, (nx, ny))
 
 
 def default_rhs(n: int, seed: int = 0, dtype=np.float64) -> np.ndarray:

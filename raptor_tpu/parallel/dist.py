@@ -36,7 +36,7 @@ from raptor_tpu.parallel.halo import dist_spmv, psum_dot
 from raptor_tpu.parallel.partition import DistMatrix, HaloPlan, distribute_matrix
 from raptor_tpu.setup.hierarchy import Hierarchy
 from raptor_tpu.solve.cycle import _level as _tail_cycle
-from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.solve.krylov import bicgstab, krylov_dispatch, pcg
 
 __all__ = [
     "DistLevel",
@@ -602,7 +602,7 @@ def dist_solve(
             def apply_M(r):
                 return _dist_cycle(dh, r)
 
-            solver = pcg if krylov == "cg" else bicgstab
+            solver = krylov_dispatch(krylov)
             return solver(
                 apply_A, b, apply_M, tol=tol, maxiter=maxiter,
                 dot_fn=psum_dot(AXIS),

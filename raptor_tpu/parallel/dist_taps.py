@@ -36,7 +36,7 @@ from raptor_tpu.parallel.dist import (
 )
 from raptor_tpu.parallel.taps import TapsPlan, build_taps_plan, taps_exchange
 from raptor_tpu.setup.hierarchy import Hierarchy
-from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.solve.krylov import bicgstab, krylov_dispatch, pcg
 
 __all__ = [
     "TapsDistHierarchy",
@@ -171,7 +171,7 @@ def dist_solve_taps(
             def dot(a, c):
                 return jax.lax.psum(jnp.vdot(a, c), (NODE, CHIP))
 
-            solver = pcg if krylov == "cg" else bicgstab
+            solver = krylov_dispatch(krylov)
             return solver(apply_A, b, apply_M, tol=tol, maxiter=maxiter,
                           dot_fn=dot)
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raptor_tpu.config import AmgConfig
-from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.solve.krylov import bicgstab, krylov_dispatch as _krylov_dispatch, pcg
 from raptor_tpu.structured.dia import (
     DiaMatrix,
     boundary_mask,
@@ -674,7 +674,7 @@ def structured_solve(
     else:
         apply_M = lambda r: r
 
-    solver = pcg if krylov == "cg" else bicgstab
+    solver = _krylov_dispatch(krylov)
     return solver(apply_A, b, apply_M, tol=tol, maxiter=maxiter)
 
 

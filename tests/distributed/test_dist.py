@@ -232,3 +232,30 @@ def test_dist_solve_config4_block_smoother():
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
     assert abs(int(info.iterations) - int(i0["iterations"])) <= 2
+
+
+def test_dist_gmres_matches_single_device():
+    """Restarted GMRES under shard_map: the CGS2 coefficients reduce through
+    a vmapped psum-dot (one batched collective per pass) and the Givens /
+    triangular-solve recurrences run replicated — iteration counts and the
+    solution must match the single-device gmres exactly."""
+    from raptor_tpu.gallery import convection_diffusion_2d
+
+    A = convection_diffusion_2d(24, epsilon=1e-2)  # nonsymmetric
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", smoother="jacobi",
+                    pad_multiple=8 * NDEV, coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+    x_ref, info_ref = solve_hier(hier, bd, tol=1e-8, maxiter=100,
+                                 krylov="gmres")
+
+    dh = distribute_hierarchy(hier, NDEV, tail_size=200)
+    mesh = make_solve_mesh(NDEV)
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100, krylov="gmres")
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert float(info.relres) <= 1e-8
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+    xn = np.asarray(x)[:n]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
