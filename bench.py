@@ -213,9 +213,10 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
     import time as _t
 
     from raptor_tpu.api import solve
-    from raptor_tpu.config import PRESETS, SolveConfig
+    from raptor_tpu.config import AmgConfig, PRESETS, SolveConfig
     from raptor_tpu.gallery import (
-        anisotropic_2d, elasticity_3d, poisson_2d, poisson_3d)
+        anisotropic_2d, convection_diffusion_2d, elasticity_3d, poisson_2d,
+        poisson_3d)
 
     probs = {
         "config1": lambda: (poisson_2d(64), None),
@@ -225,21 +226,30 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
         # SA setup below host_setup_threshold builds in vectorized NumPy
         "config4": lambda: elasticity_3d(20)[:2],  # (A, rigid-body modes)
         "config5": lambda: (poisson_3d(64), None),
+        # beyond the five acceptance configs: nonsymmetric upwind
+        # convection-diffusion through AMG-preconditioned restarted GMRES
+        "nonsym_gmres": lambda: (convection_diffusion_2d(128), None),
+    }
+    amg_cfgs = {
+        "nonsym_gmres": AmgConfig(splitting="pmis", smoother="jacobi"),
+    }
+    solve_cfgs = {
+        "nonsym_gmres": SolveConfig(tol=1e-8, refine=True, krylov="gmres"),
     }
     out = {}
     for name, gen in probs.items():
         try:
             A, B = gen()
             b = np.ones(A.shape[0])
-            cfg = PRESETS[name]
+            cfg = amg_cfgs.get(name) or PRESETS[name]
             t0 = _t.perf_counter()
             hier = None
             if B is not None:
                 from raptor_tpu.api import setup as amg_setup
 
                 hier = amg_setup(A, cfg, B=B)
-            x, info = solve(A, b, cfg, SolveConfig(tol=1e-8, refine=True),
-                            hier=hier)
+            scfg = solve_cfgs.get(name) or SolveConfig(tol=1e-8, refine=True)
+            x, info = solve(A, b, cfg, scfg, hier=hier)
             dt = _t.perf_counter() - t0
             import scipy.sparse as sp
 

@@ -68,8 +68,24 @@ def cmd_solve(args):
                 "(JAX_PLATFORMS=cpu) or drop --fp64 — the default solve "
                 "certifies 1e-8 via on-device double-float32 refinement.")
 
-    A, B, dims = _problem(args.problem, args.n)
-    b = default_rhs(A.shape[0])
+    if args.matrix:
+        from raptor_tpu.utils.io import read_matrix
+
+        A = read_matrix(args.matrix)
+        if A.shape[0] != A.shape[1]:
+            raise SystemExit(f"--matrix must be square, got {A.shape}")
+        B, dims = None, None
+    else:
+        A, B, dims = _problem(args.problem, args.n)
+    if args.rhs:
+        from raptor_tpu.utils.io import read_vector
+
+        b = read_vector(args.rhs)
+        if b.shape[0] != A.shape[0]:
+            raise SystemExit(
+                f"--rhs length {b.shape[0]} != matrix rows {A.shape[0]}")
+    else:
+        b = default_rhs(A.shape[0])
     if args.method == "structured":
         if dims is None:
             raise SystemExit("structured method needs a grid problem")
@@ -84,7 +100,8 @@ def cmd_solve(args):
         hier = build_structured_hierarchy(D, cfg)
         t0 = time.perf_counter()
         x, info = structured_solve(hier, jnp.asarray(
-            b, D.dtype), tol=args.tol, maxiter=args.maxiter)
+            b, D.dtype), tol=args.tol, maxiter=args.maxiter,
+            krylov=args.krylov or "cg")
         out = {
             "iterations": int(info.iterations),
             "relres": float(info.relres),
@@ -100,7 +117,8 @@ def cmd_solve(args):
                         fine_layout=args.layout)
         sc = SolveConfig(dtype="float64" if args.fp64 else "float32",
                          tol=args.tol, maxiter=args.maxiter,
-                         refine=not args.fp64)
+                         refine=not args.fp64,
+                         krylov=args.krylov or "cg")
         t0 = time.perf_counter()
         x, info = solve(A, b, cfg, sc)
         out = {
@@ -109,6 +127,11 @@ def cmd_solve(args):
             "seconds": time.perf_counter() - t0,
             "stats": info["stats"],
         }
+    if args.out:
+        from raptor_tpu.utils.io import write_vector
+
+        write_vector(args.out, np.asarray(x, np.float64)[: A.shape[0]])
+        out["solution"] = args.out
     print(json.dumps(out))
 
 
@@ -248,10 +271,22 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="raptor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    s = sub.add_parser("solve", help="solve a gallery problem")
+    s = sub.add_parser("solve", help="solve a gallery problem or a matrix "
+                                     "read from a file")
     s.add_argument("--problem", default="poisson3d",
                    choices=["poisson2d", "poisson3d", "anisotropic",
                             "elasticity"])
+    s.add_argument("--matrix", default=None, metavar="PATH",
+                   help="solve this operator instead of a gallery problem "
+                        "(.mtx/.mtx.gz/.npz/.rbm, see utils/io.py)")
+    s.add_argument("--rhs", default=None, metavar="PATH",
+                   help="right-hand side (.npy or text; default: "
+                        "deterministic unit-norm random)")
+    s.add_argument("--out", default=None, metavar="PATH",
+                   help="write the solution vector here (.npy or text)")
+    s.add_argument("--krylov", default=None,
+                   choices=["cg", "bicgstab", "gmres", "fgmres", "none"],
+                   help="outer Krylov method (default: cg)")
     s.add_argument("--n", type=int, default=32)
     s.add_argument("--method", default="algebraic",
                    choices=["algebraic", "structured"])

@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raptor_tpu.config import AmgConfig
-from raptor_tpu.solve.krylov import bicgstab, pcg
+from raptor_tpu.solve.krylov import bicgstab, krylov_dispatch, pcg
 from raptor_tpu.structured.dia import DiaMatrix, _linear
 from raptor_tpu.structured.solver import (
     SHierarchy,
@@ -352,7 +352,7 @@ def sdist_solve(
             def dot(a, c):
                 return jax.lax.psum(jnp.vdot(a, c), AXIS)
 
-            solver = pcg if krylov == "cg" else bicgstab
+            solver = krylov_dispatch(krylov)
             return solver(apply_A, b, apply_M, tol=tol, maxiter=maxiter,
                           dot_fn=dot)
 

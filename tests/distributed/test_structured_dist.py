@@ -174,3 +174,28 @@ def test_sdist_pallas_kernel_route_matches_single():
     assert calls, "sharded solve never traced the Pallas halo kernel"
     assert int(info.iterations) == int(info_ref.iterations)
     assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+
+
+def test_sdist_gmres_matches_single_device():
+    """krylov='gmres' through the structured distributed solver: the CGS2
+    coefficient reductions ride the injected psum dot, so iterations and the
+    solution match the single-device structured gmres."""
+    st = stencil_7pt()
+    dims = (16, 16, 16)
+    A = dia_from_stencil(st, dims, dtype=np.float64)
+    cfg = AmgConfig(smoother="jacobi", coarse_size=32, max_levels=30)
+    b = default_rhs(A.n, dtype=np.float64)
+
+    from raptor_tpu.structured.solver import _build_hierarchy_planned
+
+    plan, _ = plan_coarsening_dist(A, cfg, NDEV, "size", tail_size=256)
+    hier = _build_hierarchy_planned(A, cfg, plan)
+    x_ref, info_ref = structured_solve(hier, b, tol=1e-8, maxiter=100,
+                                       krylov="gmres")
+
+    dh = distribute_structured(A, cfg, NDEV, dim_policy="size", tail_size=256)
+    x, info = sdist_solve(dh, b, mesh(), tol=1e-8, maxiter=100,
+                          krylov="gmres")
+    assert float(info.relres) <= 1e-8
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
