@@ -184,18 +184,25 @@ def solve_hier_refined(
     outer: int = 8,
     b_lo: jax.Array | None = None,
     krylov: str = "cg",
+    M_hier: Hierarchy | None = None,
 ):
     """Solve to a TRUE <=tol relative residual entirely on device: fp32
     AMG-PCG inner solves inside compensated-double-float32 iterative
     refinement (utils/df64.py) — one jitted program, no host round-trips,
     no fp64 (the algebraic-engine counterpart of
     structured_solve_refined).  Returns ((x_hi, x_lo), true_relres, iters).
+
+    ``M_hier``: optional separate hierarchy for the preconditioner — pass a
+    bf16-cast copy (``setup.hierarchy.cast_hierarchy_algebraic``) to halve
+    the cycle's operator HBM traffic; the Krylov operator, residuals, and
+    the df64 certification all stay on ``hier``'s full-precision data.
     """
     from raptor_tpu.solve.cycle import apply_op
     from raptor_tpu.utils.df64 import df_add, df_from, two_prod
 
     A = hier.levels[0].A
     lev0 = hier.levels[0]
+    Mh = hier if M_hier is None else M_hier
 
     def apply_A(v):
         # fast-layout route (banded/block kernels) — the PCG operator apply
@@ -204,7 +211,7 @@ def solve_hier_refined(
         return apply_op(lev0, v)
 
     def apply_M(r):
-        return cycle(hier, r)
+        return cycle(Mh, r).astype(r.dtype)
 
     lo = hier.a0_lo
     band = lev0.Aband
@@ -384,9 +391,18 @@ def solve(
         b_lo = (b - b_hi.astype(np.float64)).astype(np.float32)
         bd = pad_vector(b_hi, A0.n_rows_pad)
         bdl = pad_vector(b_lo, A0.n_rows_pad)
+        M_hier = None
+        if config.operator_store_dtype != "same":
+            # bf16 preconditioner hierarchy: the cycle's operator reads
+            # halve while apply_A / the df64 residual stay on the fp32 data
+            # (refinement certifies the TRUE residual either way)
+            from raptor_tpu.setup.hierarchy import cast_hierarchy_algebraic
+
+            M_hier = cast_hierarchy_algebraic(
+                hier, jnp.dtype(config.operator_store_dtype))
         (xh, xl), relres, iters = solve_hier_refined(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
-            b_lo=bdl, krylov=solve_config.krylov,
+            b_lo=bdl, krylov=solve_config.krylov, M_hier=M_hier,
         )
         # one batched fetch: each host sync is a full round trip on
         # remote-tunnel backends, so pull all four results together

@@ -205,7 +205,7 @@ def hybrid_spmv(H: HybridMatrix, x: jax.Array) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "page", "idx", "perm", "iperm"],
+    data_fields=["vals", "pidx", "perm", "iperm"],
     meta_fields=["meta", "shape"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -213,8 +213,7 @@ class BandedMatrix:
     """General matrix in the RCM-banded paged-gather layout."""
 
     vals: jax.Array  # (T, K, R_rows, 128)
-    page: jax.Array  # (T, K, R_rows, 128) int32
-    idx: jax.Array  # (T, K, R_rows, 128) int32
+    pidx: jax.Array  # (T, K, R_rows, 128) int32 packed page*1024 + idx
     perm: jax.Array  # (n_pad,) original index of RCM slot
     iperm: jax.Array  # (n_pad,) RCM slot of original index
     meta: Tuple[int, ...]  # (K, n, tile, kh, npage, Wp) — static
@@ -226,7 +225,7 @@ class BandedMatrix:
 
     def plan(self) -> dict:
         K, n, tile, kh, npage, Wp = self.meta
-        return dict(vals=self.vals, page=self.page, idx=self.idx, K=K, n=n,
+        return dict(vals=self.vals, pidx=self.pidx, K=K, n=n,
                     tile=tile, kh=kh, npage=npage, Wp=Wp)
 
 
@@ -285,7 +284,7 @@ def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
     iperm_pad = np.arange(n_pad, dtype=np.int32)
     iperm_pad[:n] = ip
     return BandedMatrix(
-        vals=plan["vals"], page=plan["page"], idx=plan["idx"],
+        vals=plan["vals"], pidx=plan["pidx"],
         perm=jnp.asarray(perm_pad), iperm=jnp.asarray(iperm_pad),
         meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
               plan["npage"], plan["Wp"]),
@@ -313,7 +312,7 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024) -> Optional[BandedMatrix]:
         return None
     eye = np.arange(E.n_rows_pad, dtype=np.int32)
     return BandedMatrix(
-        vals=plan["vals"], page=plan["page"], idx=plan["idx"],
+        vals=plan["vals"], pidx=plan["pidx"],
         perm=jnp.asarray(eye), iperm=jnp.asarray(eye),
         meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
               plan["npage"], plan["Wp"]),
@@ -365,7 +364,7 @@ def banded_spmv(B: BandedMatrix, x: jax.Array) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "page", "idx"],
+    data_fields=["vals", "pidx"],
     meta_fields=["meta", "shape"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -373,14 +372,13 @@ class RectBanded:
     """Rectangular banded operator (transfer P/R in an RCM hierarchy)."""
 
     vals: jax.Array
-    page: jax.Array
-    idx: jax.Array
+    pidx: jax.Array  # packed page*1024 + idx, int32
     meta: Tuple[int, ...]  # (K, n, n_cols, tile, WpP, npage)
     shape: Tuple[int, int]
 
     def plan(self) -> dict:
         K, n, n_cols, tile, WpP, npage = self.meta
-        return dict(vals=self.vals, page=self.page, idx=self.idx, K=K, n=n,
+        return dict(vals=self.vals, pidx=self.pidx, K=K, n=n,
                     n_cols=n_cols, tile=tile, WpP=WpP, npage=npage)
 
 
@@ -403,7 +401,7 @@ def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
     except BandedPlanError:
         return None
     return RectBanded(
-        vals=plan["vals"], page=plan["page"], idx=plan["idx"],
+        vals=plan["vals"], pidx=plan["pidx"],
         meta=(plan["K"], plan["n"], plan["n_cols"], plan["tile"],
               plan["WpP"], plan["npage"]),
         shape=E.shape,

@@ -28,8 +28,12 @@ general SpMV into exactly that:
    yields  page_vreg[sub[j], lane[j]]  exactly — the ELL gather, at full
    VPU lane width, ~5 vreg ops per page.
 
-All metadata (page, within-page index) is precomputed host-side at setup
-(structure-only pass) and streamed as ordinary blocked inputs.
+All metadata is precomputed host-side at setup (structure-only pass) and
+streamed as ONE packed int32 per entry — ``pidx = page*1024 + idx``
+(= the entry's offset into the tile's window), unpacked in-kernel with a
+shift and a mask.  Packing halves the metadata HBM traffic (8 B/entry with
+fp32 values, 6 B with a bf16-cast preconditioner, vs 12 B unpacked), and
+the banded SpMV is bandwidth-bound on exactly that stream.
 """
 
 from __future__ import annotations
@@ -71,9 +75,9 @@ def _round_up(x, m):
 
 def _check_plan_bounds(kh: int, npage: int, K: int, tile: int,
                        itemsize: int, what: str):
-    # double-buffered window + 3 meta blocks + output, per grid step
+    # double-buffered window + 2 meta blocks (vals + packed pidx) + output
     vmem = 2 * ((2 * kh + 1 + 1) * tile * itemsize
-                + 3 * K * tile * max(itemsize, 4))
+                + 2 * K * tile * max(itemsize, 4))
     if npage > MAX_NPAGE or kh > MAX_KH or vmem > VMEM_BUDGET:
         raise BandedPlanError(
             f"{what}: bandwidth too large for the paged-gather kernel "
@@ -105,9 +109,8 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
                        "banded_plan")
 
     tbase = (rows // tile) * tile
-    f = np.where(mask, cols + np.int32(Wp) - tbase[None, :], 0)  # window off
-    page = f // PAGE
-    idx = f - page * PAGE  # sub*128 + lane within the page
+    # packed meta: window offset = page*PAGE + (sub*128 + lane), one int32
+    f = np.where(mask, cols + np.int32(Wp) - tbase[None, :], 0)
     v = np.where(mask, vals, 0)
 
     T = n // tile
@@ -119,16 +122,30 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
             dtype, order="C")
 
     return dict(
-        page=jnp.asarray(blk(page, np.int32)),
-        idx=jnp.asarray(blk(idx, np.int32)),
+        pidx=jnp.asarray(blk(f, np.int32)),
         vals=jnp.asarray(blk(v, vals.dtype)),
         K=K, n=n, tile=tile, kh=kh, npage=npage, Wp=Wp,
     )
 
 
+def _unpack_pidx(pi):
+    """(page, sub, lane) broadcast forms from the packed window offset.
+    Shift amounts are typed int32 explicitly: under jax_enable_x64 a bare
+    Python literal weak-promotes to int64 and lax.shift_right_logical
+    rejects the mixed dtypes."""
+    dt = pi.dtype
+    pg = jax.lax.shift_right_logical(pi, jnp.asarray(10, dt))  # // PAGE
+    ix = jnp.bitwise_and(pi, jnp.asarray(PAGE - 1, dt))
+    sub = jnp.broadcast_to(
+        jax.lax.shift_right_logical(ix, jnp.asarray(7, dt)), (SUB, LANE))
+    ln = jnp.broadcast_to(jnp.bitwise_and(ix, jnp.asarray(LANE - 1, dt)),
+                          (SUB, LANE))
+    return pg, sub, ln
+
+
 @partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
                                    "interpret", "vma"))
-def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
+def _banded_call(vals, pidx, x_pad, K: int, n: int, tile: int, kh: int,
                  npage: int, interpret: bool = False,
                  vma: tuple | None = None):
     R_rows = tile // LANE
@@ -143,15 +160,12 @@ def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
 
     def kernel(*refs):
         x_refs = refs[:nref]
-        d_ref, p_ref, i_ref, o_ref = refs[nref:]
+        d_ref, pi_ref, o_ref = refs[nref:]
         win = jnp.concatenate([r[:] for r in x_refs], axis=0)
         for r in range(R_rows):
             acc = None
             for k in range(K):
-                pg = p_ref[0, k, r:r + 1, :]  # (1, LANE) int32
-                ix = i_ref[0, k, r:r + 1, :]
-                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
-                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
                 val = jnp.zeros((1, LANE), x_pad.dtype)
                 for p in range(npage):
                     wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]  # (8, 128)
@@ -172,7 +186,7 @@ def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
     out = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=x_specs + [meta, meta, meta],
+        in_specs=x_specs + [meta, meta],
         out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         # vma: inside shard_map with check_vma, the output varies over the
@@ -180,7 +194,7 @@ def _banded_call(vals, page, idx, x_pad, K: int, n: int, tile: int, kh: int,
         out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x_pad.dtype,
                                        vma=frozenset(vma) if vma else None),
         interpret=interpret,
-    )(*([x2] * nref), vals, page, idx)
+    )(*([x2] * nref), vals, pidx)
     return out.reshape(-1)
 
 
@@ -191,7 +205,7 @@ def banded_spmv_pallas(plan: dict, x, interpret: bool = False):
     pad = kh * tile
     x_pad = jnp.concatenate([jnp.zeros(pad, x.dtype), x,
                              jnp.zeros(pad, x.dtype)])
-    return _banded_call(plan["vals"], plan["page"], plan["idx"], x_pad,
+    return _banded_call(plan["vals"], plan["pidx"], x_pad,
                         K=plan["K"], n=plan["n"], tile=tile, kh=kh,
                         npage=plan["npage"], interpret=interpret)
 
@@ -222,8 +236,7 @@ def banded_ref_padded(plan: dict, x_pad):
         wstart = t * tile + p0 * PAGE
         win = x_pad[wstart: wstart + npage * PAGE]
         for k in range(plan["K"]):
-            f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
-            y = y.at[t].add(plan["vals"][t, k] * win[f])
+            y = y.at[t].add(plan["vals"][t, k] * win[plan["pidx"][t, k]])
     return y.reshape(-1)
 
 
@@ -242,7 +255,7 @@ def banded_ref_padded(plan: dict, x_pad):
 
 @partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
                                    "interpret"))
-def _banded_df64_resid_call(vals, vals_lo, page, idx, x_pad, bh, bl, v,
+def _banded_df64_resid_call(vals, vals_lo, pidx, x_pad, bh, bl, v,
                             K: int, n: int, tile: int, kh: int, npage: int,
                             interpret: bool = False):
     from raptor_tpu.utils.df64 import df_add, two_prod
@@ -264,7 +277,7 @@ def _banded_df64_resid_call(vals, vals_lo, page, idx, x_pad, bh, bl, v,
         refs = refs[nref:]
         d_ref = refs[0]
         dl_ref = refs[1] if has_lo else None
-        p_ref, i_ref, bh_ref, bl_ref, v_ref, rh_ref, rl_ref = refs[
+        pi_ref, bh_ref, bl_ref, v_ref, rh_ref, rl_ref = refs[
             2 if has_lo else 1:]
         win = jnp.concatenate([r[:] for r in x_refs], axis=0)
         for r in range(R_rows):
@@ -272,10 +285,7 @@ def _banded_df64_resid_call(vals, vals_lo, page, idx, x_pad, bh, bl, v,
             sh, se = df_add(bh_ref[r:r + 1, :], bl_ref[r:r + 1, :],
                             -vv, jnp.zeros_like(vv))
             for k in range(K):
-                pg = p_ref[0, k, r:r + 1, :]
-                ix = i_ref[0, k, r:r + 1, :]
-                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
-                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
                 gh = jnp.zeros((1, LANE), x_pad.dtype)
                 for p in range(npage):
                     wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]
@@ -299,8 +309,8 @@ def _banded_df64_resid_call(vals, vals_lo, page, idx, x_pad, bh, bl, v,
                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
                        memory_space=pltpu.VMEM)
-    meta_specs = [meta, meta, meta] if has_lo else [meta, meta]
-    meta_args = ([vals, vals_lo] if has_lo else [vals]) + [page, idx]
+    meta_specs = [meta, meta] if has_lo else [meta]
+    meta_args = ([vals, vals_lo] if has_lo else [vals]) + [pidx]
     rh, rl = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -323,7 +333,7 @@ def banded_df64_residual_pallas(plan: dict, vals_lo, xh, bh, bl, v,
     x_pad = jnp.concatenate([jnp.zeros(pad, xh.dtype), xh,
                              jnp.zeros(pad, xh.dtype)])
     return _banded_df64_resid_call(
-        plan["vals"], vals_lo, plan["page"], plan["idx"], x_pad, bh, bl, v,
+        plan["vals"], vals_lo, plan["pidx"], x_pad, bh, bl, v,
         K=plan["K"], n=plan["n"], tile=tile, kh=kh, npage=plan["npage"],
         interpret=interpret)
 
@@ -352,8 +362,7 @@ def banded_df64_residual_ref(plan: dict, vals_lo, xh, bh, bl, v):
         win = x_pad[wstart: wstart + npage * PAGE]
         sh, se = df_add(bh3[t], bl3[t], -v3[t], jnp.zeros_like(v3[t]))
         for k in range(plan["K"]):
-            f = plan["page"][t, k] * PAGE + plan["idx"][t, k]
-            gh = win[f]
+            gh = win[plan["pidx"][t, k]]
             ph, pe = two_prod(plan["vals"][t, k], gh)
             if vals_lo is not None:
                 pe = pe + vals_lo[t, k] * gh
@@ -406,8 +415,6 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
 
     f = np.where(mask, delta + np.int64(WpP * PAGE), 0).astype(np.int32)
     assert (f[mask] >= 0).all() and (f[mask] < npage * PAGE).all()
-    page = f // PAGE
-    idx = f - page * PAGE
     v = np.where(mask, vals, 0)
 
     R_rows = tile // LANE
@@ -418,8 +425,7 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
             dtype, order="C")
 
     return dict(
-        page=jnp.asarray(blk(page, np.int32)),
-        idx=jnp.asarray(blk(idx, np.int32)),
+        pidx=jnp.asarray(blk(f, np.int32)),
         vals=jnp.asarray(blk(v, vals.dtype)),
         K=K, n=n, n_cols=n_cols_pad, tile=tile, WpP=WpP, npage=npage,
     )
@@ -427,7 +433,7 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
 
 @partial(jax.jit, static_argnames=("K", "n", "n_cols", "tile", "WpP",
                                    "npage", "interpret", "map_cols", "vma"))
-def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
+def _banded_call_rect(vals, pidx, x, K: int, n: int, n_cols: int,
                       tile: int, WpP: int, npage: int,
                       interpret: bool = False, map_cols: int | None = None,
                       vma: tuple | None = None):
@@ -442,14 +448,11 @@ def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
 
     def kernel(*refs):
         x_refs = refs[:npage]  # one page (SUB, LANE) each
-        d_ref, p_ref, i_ref, o_ref = refs[npage:]
+        d_ref, pi_ref, o_ref = refs[npage:]
         for r in range(R_rows):
             acc = None
             for k in range(K):
-                pg = p_ref[0, k, r:r + 1, :]
-                ix = i_ref[0, k, r:r + 1, :]
-                sub = jnp.broadcast_to(ix // LANE, (SUB, LANE))
-                ln = jnp.broadcast_to(ix % LANE, (SUB, LANE))
+                pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
                 val = jnp.zeros((1, LANE), x.dtype)
                 for p in range(npage):
                     wp = x_refs[p][:]
@@ -479,13 +482,13 @@ def _banded_call_rect(vals, page, idx, x, K: int, n: int, n_cols: int,
     out = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=x_specs + [meta, meta, meta],
+        in_specs=x_specs + [meta, meta],
         out_specs=pl.BlockSpec((R_rows, LANE), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // LANE, LANE), x.dtype,
                                        vma=frozenset(vma) if vma else None),
         interpret=interpret,
-    )(*([x2] * npage), vals, page, idx)
+    )(*([x2] * npage), vals, pidx)
     return out.reshape(-1)
 
 
@@ -502,14 +505,14 @@ def banded_rect_ref_buf(plan: dict, x_buf, map_cols: int):
         base = (t * map_cols) // (T * PAGE)
         pages = np.clip(np.arange(plan["npage"]) + base, 0, total_pages - 1)
         win = x_buf.reshape(total_pages, PAGE)[pages].reshape(-1)
-        f = plan["page"][t] * PAGE + plan["idx"][t]
-        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[f], axis=0))
+        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[plan["pidx"][t]],
+                                axis=0))
     return y.reshape(-1)
 
 
 def banded_spmv_rect_pallas(plan: dict, x, interpret: bool = False):
     """y = A @ x for a rectangular banded plan; x has length plan['n_cols']."""
-    return _banded_call_rect(plan["vals"], plan["page"], plan["idx"], x,
+    return _banded_call_rect(plan["vals"], plan["pidx"], x,
                              K=plan["K"], n=plan["n"],
                              n_cols=plan["n_cols"], tile=plan["tile"],
                              WpP=plan["WpP"], npage=plan["npage"],
@@ -527,6 +530,6 @@ def banded_spmv_rect_ref(plan: dict, x):
         base = (t * plan["n_cols"]) // (T * PAGE) - plan["WpP"]
         pages = np.clip(np.arange(plan["npage"]) + base, 0, total_pages - 1)
         win = x.reshape(total_pages, PAGE)[pages].reshape(-1)
-        f = plan["page"][t] * PAGE + plan["idx"][t]
-        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[f], axis=0))
+        y = y.at[t].add(jnp.sum(plan["vals"][t] * win[plan["pidx"][t]],
+                                axis=0))
     return y.reshape(-1)

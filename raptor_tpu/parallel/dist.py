@@ -129,12 +129,12 @@ def _band_spec(B):
         return None
     from raptor_tpu.core.hybrid import BandedMatrix
 
-    # vals/page/idx are (T, K, R_rows, 128): shard whole kernel tiles; the
+    # vals/pidx are (T, K, R_rows, 128): shard whole kernel tiles; the
     # (n_pad,) perms are unused inside the dist apply (the hierarchy lives
     # in one global RCM ordering) but shard consistently
     return BandedMatrix(
-        vals=P(AXIS, None, None, None), page=P(AXIS, None, None, None),
-        idx=P(AXIS, None, None, None), perm=P(AXIS), iperm=P(AXIS),
+        vals=P(AXIS, None, None, None), pidx=P(AXIS, None, None, None),
+        perm=P(AXIS), iperm=P(AXIS),
         meta=B.meta, shape=B.shape,
     )
 
@@ -145,8 +145,8 @@ def _rect_spec(B):
     from raptor_tpu.core.hybrid import RectBanded
 
     return RectBanded(
-        vals=P(AXIS, None, None, None), page=P(AXIS, None, None, None),
-        idx=P(AXIS, None, None, None), meta=B.meta, shape=B.shape,
+        vals=P(AXIS, None, None, None), pidx=P(AXIS, None, None, None),
+        meta=B.meta, shape=B.shape,
     )
 
 
@@ -324,10 +324,10 @@ def dist_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
     x_pad = jnp.concatenate([left, x_own, right])
     use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
-        return _banded_call(B.vals, B.page, B.idx, x_pad, K=K, n=n_loc,
+        return _banded_call(B.vals, B.pidx, x_pad, K=K, n=n_loc,
                             tile=tile, kh=kh, npage=npage,
                             interpret=bool(interpret), vma=(axis,))
-    plan = dict(vals=B.vals, page=B.page, idx=B.idx, K=K, n=n_loc,
+    plan = dict(vals=B.vals, pidx=B.pidx, K=K, n=n_loc,
                 tile=tile, kh=kh, npage=npage, Wp=Wp)
     return banded_ref_padded(plan, x_pad)
 
@@ -389,10 +389,10 @@ def dist_rect_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
     use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
         return _banded_call_rect(
-            B.vals, B.page, B.idx, x_buf, K=K, n=n_loc,
+            B.vals, B.pidx, x_buf, K=K, n=n_loc,
             n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage,
             interpret=bool(interpret), map_cols=cols_loc, vma=(axis,))
-    plan = dict(vals=B.vals, page=B.page, idx=B.idx, K=K, n=n_loc,
+    plan = dict(vals=B.vals, pidx=B.pidx, K=K, n=n_loc,
                 n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage)
     return banded_rect_ref_buf(plan, x_buf, map_cols=cols_loc)
 

@@ -48,7 +48,8 @@ from raptor_tpu.setup.splitting import make_perm, pmis_splitting, rs_splitting_h
 from raptor_tpu.setup.strength import strength_mask
 from raptor_tpu.solve.smoothers import estimate_lmax, greedy_coloring_host
 
-__all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats"]
+__all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats",
+           "cast_hierarchy_algebraic"]
 
 
 @partial(
@@ -344,6 +345,43 @@ def stage_hierarchy(hier: Hierarchy) -> Hierarchy:
         return jax.device_put(x) if isinstance(x, np.ndarray) else x
 
     return jax.tree_util.tree_map(put, hier)
+
+
+def cast_hierarchy_algebraic(hier: Hierarchy, dtype) -> Hierarchy:
+    """Copy of the hierarchy with every OPERATOR value array cast to
+    ``dtype`` (bfloat16 in practice) for use as the *preconditioner*
+    hierarchy: the V-cycle's HBM traffic is dominated by operator reads, so
+    a bf16 M_hier roughly halves the cycle time while the Krylov operator,
+    residuals, and df64 certification stay in the solve precision (the
+    algebraic counterpart of ``structured.cast_hierarchy``; measured 2x on
+    the DIA kernel at 128^3).  ``dinv`` / ``binv`` / ``cheb_lmax`` stay in
+    the original precision — they are O(n) vectors whose rounding would
+    perturb the smoother scaling for no meaningful traffic win."""
+    dt = jnp.dtype(dtype)
+
+    def cast_ell(E):
+        return None if E is None else dataclasses.replace(
+            E, data=E.data.astype(dt))
+
+    def cast_band(B):
+        return None if B is None else dataclasses.replace(
+            B, vals=B.vals.astype(dt))
+
+    def cast_hyb(H):
+        return None if H is None else dataclasses.replace(
+            H, planes=H.planes.astype(dt), spill=cast_ell(H.spill))
+
+    levels = tuple(
+        dataclasses.replace(
+            lev, A=cast_ell(lev.A), P=cast_ell(lev.P), R=cast_ell(lev.R),
+            Abell=cast_ell(lev.Abell), Aband=cast_band(lev.Aband),
+            Pband=cast_band(lev.Pband), Rband=cast_band(lev.Rband),
+            Ahyb=cast_hyb(lev.Ahyb))
+        for lev in hier.levels)
+    return dataclasses.replace(
+        hier, levels=levels,
+        coarse_inv=hier.coarse_inv.astype(dt),
+        tail_op=None if hier.tail_op is None else hier.tail_op.astype(dt))
 
 
 def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,

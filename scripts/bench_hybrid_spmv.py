@@ -61,12 +61,12 @@ def main():
         return jax.lax.fori_loop(0, R, lambda i, u: spmv(E, u) / 8.0, v)
 
     @jax.jit
-    def run_banded(vals, page, idx, v):
+    def run_banded(vals, pidx, v):
         def body(i, u):
             up = jnp.concatenate(
                 [jnp.zeros(pad, u.dtype), u, jnp.zeros(pad, u.dtype)])
             return bk._banded_call(
-                vals, page, idx, up, K=K, n=n_pad, tile=tile, kh=kh,
+                vals, pidx, up, K=K, n=n_pad, tile=tile, kh=kh,
                 npage=npage) / 8.0
         return jax.lax.fori_loop(0, R, body, v)
 
@@ -89,7 +89,7 @@ def main():
     assert err < 1e-5
 
     tg = bench(run_gather, E0, x)
-    tb = bench(run_banded, plan["vals"], plan["page"], plan["idx"], x)
+    tb = bench(run_banded, plan["vals"], plan["pidx"], x)
     print(f"gather ELL : {tg*1e3:8.3f} ms/spmv  ({n/tg/1e9:.4f} GDOF/s)")
     print(f"banded     : {tb*1e3:8.3f} ms/spmv  ({n/tb/1e9:.4f} GDOF/s)")
     print(f"speedup    : {tg/tb:.1f}x")
