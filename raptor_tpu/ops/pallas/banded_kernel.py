@@ -166,6 +166,11 @@ def _banded_call(vals, pidx, x_pad, K: int, n: int, tile: int, kh: int,
             acc = None
             for k in range(K):
                 pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
+                # two-stage gather per page + (1, LANE) select.  Measured
+                # alternatives that LOST: lane-gather-per-page with one
+                # final sublane gather (the widened (8,128) page selects
+                # cost more than the saved gathers, 0.70->0.80 ms), and
+                # per-(t,k,r) page ranges (RCM jitter spans the window)
                 val = jnp.zeros((1, LANE), x_pad.dtype)
                 for p in range(npage):
                     wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]  # (8, 128)
