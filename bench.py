@@ -184,10 +184,14 @@ def algebraic_setup_detail() -> dict:
     mi = SolveConfig().maxiter
     _jax.block_until_ready(
         solve_hier_refined(hb, bd, tol=1e-8, maxiter=mi, b_lo=bdl))
+    # R async dispatches, one sync: a single dispatch+block pays a full
+    # tunnel round trip (6-30 ms, environment noise at this scale)
+    R = 5
     t0 = _t.perf_counter()
-    out_dev = solve_hier_refined(hb, bd, tol=1e-8, maxiter=mi, b_lo=bdl)
+    for _ in range(R):
+        out_dev = solve_hier_refined(hb, bd, tol=1e-8, maxiter=mi, b_lo=bdl)
     _jax.block_until_ready(out_dev)
-    solve_dev = _t.perf_counter() - t0
+    solve_dev = (_t.perf_counter() - t0) / R
     out = {
         "problem": "shuffled 3D Poisson 48^3 (n=110592), algebraic engine",
         "setup_cold_s": cold, "setup_warm_s": warm,

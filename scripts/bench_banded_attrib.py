@@ -14,7 +14,7 @@ sys.path.insert(0, ".")
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=48)
-ap.add_argument("--reps", type=int, default=50)
+ap.add_argument("--reps", type=int, default=1000)
 ap.add_argument("--bf16", action="store_true",
                 help="also time a bf16-cast preconditioner hierarchy")
 args = ap.parse_args()
@@ -80,10 +80,12 @@ t_it = timeit("spmv+cycle (1 PCG iter)", pcg_iter, b)
 # full refined solve, wall + device
 x, rel, it = solve_hier_refined(hier, b, tol=1e-8)  # warm
 jax.block_until_ready(x)
+R5 = 5  # async dispatches, one sync: amortize the tunnel round trip
 t0 = time.perf_counter()
-x, rel, it = solve_hier_refined(hier, b, tol=1e-8)
+for _ in range(R5):
+    x, rel, it = solve_hier_refined(hier, b, tol=1e-8)
 jax.block_until_ready(x)
-dt = (time.perf_counter() - t0) * 1e3
+dt = (time.perf_counter() - t0) * 1e3 / R5
 print(f"{'refined solve (warm)':28s} {dt:8.1f} ms   "
       f"iters={int(it)} relres={float(rel):.2e}")
 print(f"  -> iters * iter_cost = {int(it) * t_it:.1f} ms; "
@@ -97,8 +99,9 @@ if args.bf16:
     x, rel, it = solve_hier_refined(hier, b, tol=1e-8, M_hier=hM)  # warm
     jax.block_until_ready(x)
     t0 = time.perf_counter()
-    x, rel, it = solve_hier_refined(hier, b, tol=1e-8, M_hier=hM)
+    for _ in range(R5):
+        x, rel, it = solve_hier_refined(hier, b, tol=1e-8, M_hier=hM)
     jax.block_until_ready(x)
     print(f"{'refined solve bf16-M (warm)':28s} "
-          f"{(time.perf_counter()-t0)*1e3:8.1f} ms   "
+          f"{(time.perf_counter()-t0)*1e3/R5:8.1f} ms   "
           f"iters={int(it)} relres={float(rel):.2e}")

@@ -15,7 +15,7 @@ sys.path.insert(0, ".")
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--size", type=int, default=256)
-ap.add_argument("--reps", type=int, default=50)
+ap.add_argument("--reps", type=int, default=1000)
 args = ap.parse_args()
 
 import jax
