@@ -175,7 +175,7 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     ))
 
 
-@partial(jax.jit, static_argnames=("maxiter", "outer", "krylov"))
+@partial(jax.jit, static_argnames=("maxiter", "outer", "krylov", "restart"))
 def solve_hier_refined(
     hier: Hierarchy,
     b: jax.Array,
@@ -185,6 +185,7 @@ def solve_hier_refined(
     b_lo: jax.Array | None = None,
     krylov: str = "cg",
     M_hier: Hierarchy | None = None,
+    restart: int = 30,
 ):
     """Solve to a TRUE <=tol relative residual entirely on device: fp32
     AMG-PCG inner solves inside compensated-double-float32 iterative
@@ -255,7 +256,7 @@ def solve_hier_refined(
         xh, xl, rh, rl, relres, it, k = s
         return (k < outer) & (relres > tol)
 
-    inner = krylov_dispatch(krylov)
+    inner = krylov_dispatch(krylov, restart)
 
     def body(s):
         xh, xl, rh, rl, relres, it, k = s
@@ -275,7 +276,8 @@ def solve_hier_refined(
     return (xh, xl), true_relres, total_it
 
 
-@partial(jax.jit, static_argnames=("krylov", "maxiter", "precondition"))
+@partial(jax.jit, static_argnames=("krylov", "maxiter", "precondition",
+                                   "restart"))
 def solve_hier(
     hier: Hierarchy,
     b: jax.Array,
@@ -284,6 +286,7 @@ def solve_hier(
     krylov: str = "cg",
     precondition: bool = True,
     x0: jax.Array | None = None,
+    restart: int = 30,
 ):
     """Jitted end-to-end solve given a built hierarchy and padded rhs."""
     from raptor_tpu.solve.cycle import apply_op
@@ -306,7 +309,7 @@ def solve_hier(
         return bicgstab(apply_A, b, apply_M, tol=tol, maxiter=maxiter, x0=x0)
     if krylov in ("gmres", "fgmres"):
         return gmres(apply_A, b, apply_M, tol=tol, maxiter=maxiter, x0=x0,
-                     flexible=(krylov == "fgmres"))
+                     restart=restart, flexible=(krylov == "fgmres"))
     if krylov == "none":  # stationary AMG iteration
         def body(s):
             x, r, it, status, hist = s
@@ -379,6 +382,7 @@ def solve(
         x, info = solve_hier(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
             krylov=config_krylov(solve_config),
+            restart=solve_config.gmres_restart,
         )
         return _finish(x, info, n, hier, pm)
 
@@ -403,6 +407,7 @@ def solve(
         (xh, xl), relres, iters = solve_hier_refined(
             hier, bd, tol=solve_config.tol, maxiter=solve_config.maxiter,
             b_lo=bdl, krylov=solve_config.krylov, M_hier=M_hier,
+            restart=solve_config.gmres_restart,
         )
         # one batched fetch: each host sync is a full round trip on
         # remote-tunnel backends, so pull all four results together
@@ -434,6 +439,7 @@ def solve(
         e, info = solve_hier(
             hier, rd, tol=inner_tol, maxiter=solve_config.maxiter,
             krylov=config_krylov(solve_config),
+            restart=solve_config.gmres_restart,
         )
         total_it += int(info.iterations)
         hists.append(np.asarray(info.res_hist))

@@ -106,6 +106,9 @@ class SolveConfig:
     krylov: str = "cg"  # 'cg' | 'bicgstab' | 'gmres' | 'fgmres' | 'none'
     tol: float = 1e-8
     maxiter: int = 200
+    # GMRES/FGMRES restart length (Krylov basis size per cycle; memory is
+    # restart * n for V plus the same for Z when flexible)
+    gmres_restart: int = 30
     # mixed precision: inner solve dtype / outer iterative-refinement dtype
     dtype: str = "float32"
     refine: bool = False

@@ -24,14 +24,18 @@ import jax.numpy as jnp
 __all__ = ["KrylovInfo", "pcg", "bicgstab", "gmres", "krylov_dispatch"]
 
 
-def krylov_dispatch(name: str) -> Callable:
+def krylov_dispatch(name: str, restart: int | None = None) -> Callable:
     """Solver lookup shared by every engine (algebraic, structured,
-    distributed): 'cg' | 'bicgstab' | 'gmres' | 'fgmres'."""
+    distributed): 'cg' | 'bicgstab' | 'gmres' | 'fgmres'.  ``restart``
+    overrides the GMRES restart length (ignored by cg/bicgstab)."""
     table = {"cg": pcg, "bicgstab": bicgstab, "gmres": gmres,
              "fgmres": partial(gmres, flexible=True)}
     if name not in table:
         raise ValueError(f"unknown krylov: {name!r} (one of {sorted(table)})")
-    return table[name]
+    fn = table[name]
+    if restart is not None and name in ("gmres", "fgmres"):
+        fn = partial(fn, restart=restart)
+    return fn
 
 STATUS_CONVERGED = 0
 STATUS_MAXITER = 1

@@ -169,3 +169,22 @@ def test_gmres_matches_scipy_iterations_ballpark():
     r = b - A @ np.asarray(x)
     assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b)
     assert int(info.iterations) <= count["n"] + 5
+
+
+def test_gmres_restart_knob_through_api():
+    """SolveConfig.gmres_restart threads to the solver: a tiny restart on a
+    hard problem takes more total iterations than the default."""
+    from raptor_tpu.api import solve
+    from raptor_tpu.config import AmgConfig, SolveConfig
+    from raptor_tpu.gallery import convection_diffusion_2d, default_rhs
+
+    A = convection_diffusion_2d(24, epsilon=1e-2)
+    b = default_rhs(A.shape[0])
+    cfg = AmgConfig(splitting="pmis", smoother="jacobi")
+    x1, i1 = solve(A, b, cfg, SolveConfig(dtype="float64", krylov="gmres"))
+    x2, i2 = solve(A, b, cfg, SolveConfig(dtype="float64", krylov="gmres",
+                                          gmres_restart=3))
+    for x, info in ((x1, i1), (x2, i2)):
+        assert info["relres"] <= 1e-8
+        assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) <= 1e-7
+    assert i2["iterations"] >= i1["iterations"]
