@@ -28,6 +28,9 @@ def _problem(name: str, n: int):
         return gallery.poisson_3d(n), None, (n, n, n)
     if name == "anisotropic":
         return gallery.anisotropic_2d(n, epsilon=1e-3, theta=np.pi / 6), None, (n, n)
+    if name == "convdiff":
+        # nonsymmetric: pair with --krylov gmres / bicgstab
+        return gallery.convection_diffusion_2d(n, epsilon=1e-2), None, (n, n)
     if name == "elasticity":
         A, B, _ = gallery.elasticity_3d(n)
         return A, B, None
@@ -275,7 +278,7 @@ def main(argv=None):
                                      "read from a file")
     s.add_argument("--problem", default="poisson3d",
                    choices=["poisson2d", "poisson3d", "anisotropic",
-                            "elasticity"])
+                            "convdiff", "elasticity"])
     s.add_argument("--matrix", default=None, metavar="PATH",
                    help="solve this operator instead of a gallery problem "
                         "(.mtx/.mtx.gz/.npz/.rbm, see utils/io.py)")
