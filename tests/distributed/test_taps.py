@@ -119,3 +119,36 @@ def test_dist_solve_taps_matches_flat():
     assert np.allclose(np.asarray(x_taps), np.asarray(x_flat), atol=1e-12)
     xn = np.asarray(x_taps)[:n]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
+
+
+def test_dist_solve_taps_gmres():
+    """GMRES through the TAPS (node, chip) mesh: the vmapped psum-dot
+    reduces over BOTH axes; iterations match the single-device gmres."""
+    from raptor_tpu import AmgConfig, setup
+    from raptor_tpu.api import solve_hier
+    from raptor_tpu.core import pad_vector
+    from raptor_tpu.gallery import default_rhs
+    from raptor_tpu.parallel import (
+        dist_solve_taps,
+        distribute_hierarchy_taps,
+        make_taps_mesh,
+    )
+
+    A = poisson_3d(12)
+    n = A.shape[0]
+    b = default_rhs(n)
+    cfg = AmgConfig(splitting="pmis", smoother="jacobi",
+                    pad_multiple=8 * NDEV, coarse_size=64)
+    hier = setup(A, cfg, dtype=np.float64)
+    bd = pad_vector(b, hier.levels[0].A.n_rows_pad)
+    x_ref, info_ref = solve_hier(hier, bd, tol=1e-8, maxiter=100,
+                                 krylov="gmres")
+
+    th = distribute_hierarchy_taps(hier, N_NODES, N_CHIPS, tail_size=500)
+    x, info = dist_solve_taps(th, bd, make_taps_mesh(N_NODES, N_CHIPS),
+                              tol=1e-8, maxiter=100, krylov="gmres")
+    assert int(info.iterations) == int(info_ref.iterations)
+    assert float(info.relres) <= 1e-8
+    assert np.allclose(np.asarray(x), np.asarray(x_ref), atol=1e-10)
+    xn = np.asarray(x)[:n]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) < 1e-7
