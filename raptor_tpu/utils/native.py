@@ -49,6 +49,11 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
         ]
         lib.greedy_coloring.restype = ctypes.c_int32
+        lib.pmis_splitting.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -86,6 +91,26 @@ def rs_splitting_native(S_csr) -> np.ndarray | None:
         _ptr(sp_, ctypes.c_int64), _ptr(si, ctypes.c_int32),
         _ptr(tp, ctypes.c_int64), _ptr(ti, ctypes.c_int32),
         ctypes.c_int64(n), _ptr(cf, ctypes.c_int32),
+    )
+    return cf
+
+
+def pmis_splitting_native(srows, scols, w, cf0) -> np.ndarray | None:
+    """Native synchronous-round PMIS over a fixed strong-edge list;
+    bit-identical to host_setup.np_pmis_splitting (integer weights are
+    tie-free).  ``cf0``: initial cf (0 undecided / 2 F for isolated rows),
+    not modified.  None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    es = _as_i64(srows)
+    ed = _as_i64(scols)
+    ww = _as_i64(w)
+    cf = np.ascontiguousarray(cf0, dtype=np.int32).copy()
+    lib.pmis_splitting(
+        _ptr(es, ctypes.c_int64), _ptr(ed, ctypes.c_int64),
+        ctypes.c_int64(es.shape[0]), _ptr(ww, ctypes.c_int64),
+        ctypes.c_int64(cf.shape[0]), _ptr(cf, ctypes.c_int32),
     )
     return cf
 

@@ -156,3 +156,37 @@ def test_classical_interp_converges_better():
                      SolveConfig(dtype="float64"))
     assert i_cla["relres"] <= 1e-8
     assert i_cla["iterations"] <= i_dir["iterations"] + 1
+
+
+def test_native_pmis_matches_numpy():
+    """native/host_kernels.cpp::pmis_splitting is bit-identical to the
+    numpy synchronous rounds (same edge list, same tie-free int weights)."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.gallery import poisson_3d
+    from raptor_tpu.setup import host_setup as hs
+    from raptor_tpu.setup.splitting import make_perm_np
+    from raptor_tpu.utils import native
+
+    if native.load() is None:
+        pytest.skip("no compiler for the native library")
+    rng = np.random.default_rng(0)
+    A = poisson_3d(16)
+    p = rng.permutation(A.shape[0])
+    P = sp.identity(A.shape[0], format="csr")[p]
+    A = (P @ A @ P.T).tocsr()
+    E = ell_from_csr(A, dtype=np.float64, device=False)
+    data, cols, nnz = (np.asarray(E.data), np.asarray(E.cols),
+                       np.asarray(E.row_nnz))
+    for seed in (0, 1, 7):
+        smask = hs.np_strength_mask(data, cols, nnz, 0.25, "classical")
+        perm = make_perm_np(A.shape[0], E.n_rows_pad, seed)
+        orig = native.pmis_splitting_native
+        try:
+            native.pmis_splitting_native = lambda *a, **k: None
+            cf_np = hs.np_pmis_splitting(cols, smask, perm, E.n_rows_pad)
+        finally:
+            native.pmis_splitting_native = orig
+        cf_c = hs.np_pmis_splitting(cols, smask, perm, E.n_rows_pad)
+        assert np.array_equal(cf_np, cf_c)
