@@ -132,14 +132,21 @@ def block_diag_inv(A: BlockEllMatrix) -> jax.Array:
 
 
 def block_jacobi(A: BlockEllMatrix, dinv_blocks, b, x,
-                 omega: float = 2.0 / 3.0, sweeps: int = 1):
+                 omega: float = 2.0 / 3.0, sweeps: int = 1,
+                 x0_zero: bool = False):
     """Block-Jacobi: x += omega * Dblk^{-1} (b - Ax) — the natural smoother
-    for elasticity systems (couples the 3 dofs of a node exactly)."""
+    for elasticity systems (couples the 3 dofs of a node exactly).
+    ``x0_zero`` (trace-time) elides the first SpMV when x == 0 on entry
+    (XLA does not fold A@0; see solve/smoothers.jacobi)."""
     def body(_, x):
         r = (b - bell_spmv(A, x)).reshape(A.nb_pad, A.bs)
         upd = jnp.einsum("nij,nj->ni", dinv_blocks, r).reshape(-1)
         return x + omega * upd
 
+    if x0_zero and sweeps:
+        rb = b.reshape(A.nb_pad, A.bs)
+        x = omega * jnp.einsum("nij,nj->ni", dinv_blocks, rb).reshape(-1)
+        return jax.lax.fori_loop(0, sweeps - 1, body, x)
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
@@ -164,7 +171,8 @@ def ell_to_bell(E, bs: int, row_pad_multiple: int = 8) -> BlockEllMatrix:
                          row_pad_multiple=E.n_rows_pad // bs)
 
 
-def block_chebyshev4(A: BlockEllMatrix, binv, b, x, lmax, degree: int = 3):
+def block_chebyshev4(A: BlockEllMatrix, binv, b, x, lmax, degree: int = 3,
+                     x0_zero: bool = False):
     """Fourth-kind Chebyshev smoothing preconditioned by the block diagonal
     (the elasticity upgrade of solve/smoothers.chebyshev4: Dblk^{-1} couples
     each node's ``bs`` dofs exactly, so the polynomial acts on the
@@ -173,7 +181,7 @@ def block_chebyshev4(A: BlockEllMatrix, binv, b, x, lmax, degree: int = 3):
         rb = r.reshape(A.nb_pad, A.bs)
         return jnp.einsum("nij,nj->ni", binv, rb).reshape(-1)
 
-    r = b - bell_spmv(A, x)
+    r = b if x0_zero else b - bell_spmv(A, x)
     d = (4.0 / 3.0) / lmax * prec(r)
     x = x + d
     for k in range(2, degree + 1):

@@ -421,14 +421,25 @@ class CommCtx:
 
 
 def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
-                 sp):
+                 sp, x0_zero: bool = False):
+    """``x0_zero`` (trace-time): x == 0 on entry, so the first residual is
+    exactly ``b`` — elides one sharded SpMV INCLUDING its halo exchange per
+    level per cycle (XLA does not fold A@0; see solve/cycle._smooth_sp)."""
     sweeps = cfg.nu2 if backward else cfg.nu1
     smoother = cfg.smoother
     if sweeps == 0:
         return x
+    first = [x0_zero]  # consumed by the FIRST residual below
+
+    def res(x):
+        if first[0]:
+            first[0] = False
+            return b
+        return b - sp(x)
+
     if smoother == "jacobi":
         for _ in range(sweeps):
-            x = x + cfg.omega * lev.dinv * (b - sp(x))
+            x = x + cfg.omega * lev.dinv * res(x)
         return x
     if smoother == "mcgs":
         order = list(range(lev.ncolors))
@@ -436,7 +447,7 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
             order.reverse()
         for _ in range(sweeps):
             for c in order:
-                r = b - sp(x)
+                r = res(x)
                 x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
         return x
     if smoother == "tsgs":
@@ -456,7 +467,7 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
                                     col_bound=nloc)
 
         for _ in range(sweeps):
-            r = b - sp(x)
+            r = res(x)
             z = lev.dinv * r
             for _j in range(cfg.gs_inner):
                 z = lev.dinv * (r - tri(z))
@@ -470,7 +481,7 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(d)
         for i in range(cfg.cheb_degree):
-            z = lev.dinv * (b - sp(x))
+            z = lev.dinv * res(x)
             if i == 0:
                 p, alpha = z, 1.0 / d
             else:
@@ -497,11 +508,11 @@ def _dist_smooth(lev: DistLevel, cfg: AmgConfig, b, x, backward: bool,
 
         if smoother == "block_jacobi":
             for _ in range(sweeps):
-                x = x + cfg.omega * prec(b - sp(x))
+                x = x + cfg.omega * prec(res(x))
             return x
         # cheb4 / block_cheb: 4th-kind Chebyshev on the (block-)normalized
         # spectrum, mirrors smoothers.chebyshev4 / bell.block_chebyshev4
-        r = b - sp(x)
+        r = res(x)
         d = (4.0 / 3.0) / lev.cheb_lmax * prec(r)
         x = x + d
         for k in range(2, cfg.cheb_degree + 1):
@@ -530,8 +541,9 @@ def _dist_level_solve(dh: DistHierarchy, k: int, b, ctx: CommCtx):
     cfg = dh.config
     lev = dh.levels[k]
     spA = lambda v: _apply_dist_A(dh, k, v, ctx)
-    x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False, sp=spA)
-    r = b - spA(x)
+    x = _dist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False, sp=spA,
+                     x0_zero=True)
+    r = b - spA(x) if cfg.nu1 else b
     if k + 1 < len(dh.levels):
         banded_txf = lev.Rband is not None and isinstance(ctx.axes, str)
         rc = (dist_rect_banded_spmv(lev.Rband, r, ctx.axes) if banded_txf

@@ -52,16 +52,30 @@ def apply_op(lev: Level, x):
     return spmv(lev.A, x)
 
 
-def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
+def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp,
+               x0_zero: bool = False):
     """Scalar smoothers expressed against an operator-apply closure ``sp``
     (mirrors parallel.dist._dist_smooth) — used when the level's operator
-    runs through a fast layout instead of the scalar ELL."""
+    runs through a fast layout instead of the scalar ELL.
+
+    ``x0_zero`` (trace-time) asserts x == 0 on entry: the first residual is
+    exactly ``b``, eliding one operator apply — XLA does not fold A@0
+    (verified on optimized HLO), and every cycle's pre-smooth starts from
+    zero, so this is one full SpMV of HBM traffic per level per cycle."""
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
+    first = [x0_zero]  # consumed by the FIRST residual below
+
+    def res(x):
+        if first[0]:
+            first[0] = False
+            return b
+        return b - sp(x)
+
     if cfg.smoother == "jacobi":
         for _ in range(sweeps):
-            x = x + cfg.omega * lev.dinv * (b - sp(x))
+            x = x + cfg.omega * lev.dinv * res(x)
         return x
     if cfg.smoother == "mcgs":
         order = list(range(lev.ncolors))
@@ -69,7 +83,7 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
             order.reverse()
         for _ in range(sweeps):
             for c in order:
-                r = b - sp(x)
+                r = res(x)
                 x = x + jnp.where(lev.color == c, lev.dinv * r, 0)
         return x
     if cfg.smoother == "tsgs":
@@ -77,7 +91,7 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
         # triangular Jacobi series on the scalar ELL (same matrix, same
         # ordering — apply_op's fallback path)
         for _ in range(sweeps):
-            r = b - sp(x)
+            r = res(x)
             z = lev.dinv * r
             for _j in range(cfg.gs_inner):
                 z = lev.dinv * (r - triangular_apply(lev.A, z, upper=backward))
@@ -91,7 +105,7 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(d)
         for i in range(cfg.cheb_degree):
-            z = lev.dinv * (b - sp(x))
+            z = lev.dinv * res(x)
             if i == 0:
                 p, alpha = z, 1.0 / d
             else:
@@ -101,7 +115,7 @@ def _smooth_sp(lev: Level, cfg: AmgConfig, b, x, backward: bool, sp):
             x = x + alpha * p
         return x
     if cfg.smoother == "cheb4":
-        r = b - sp(x)
+        r = res(x)
         d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
         x = x + d
         for k in range(2, cfg.cheb_degree + 1):
@@ -128,47 +142,51 @@ def apply_transfer(band, E, v):
     return rect_banded_spmv(band, v)
 
 
-def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool):
+def _smooth(lev: Level, cfg: AmgConfig, b, x, backward: bool,
+            x0_zero: bool = False):
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
     if lev.Aband is not None or lev.Ahyb is not None:
         return _smooth_sp(lev, cfg, b, x, backward,
-                          sp=lambda v: apply_op(lev, v))
+                          sp=lambda v: apply_op(lev, v), x0_zero=x0_zero)
     if cfg.smoother == "block_jacobi":
         if lev.Abell is None:  # level without block alignment: scalar Jacobi
             return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega,
-                          sweeps=sweeps)
+                          sweeps=sweeps, x0_zero=x0_zero)
         from raptor_tpu.core.bell import block_jacobi
 
         return block_jacobi(lev.Abell, lev.binv, b, x, omega=cfg.omega,
-                            sweeps=sweeps)
+                            sweeps=sweeps, x0_zero=x0_zero)
     if cfg.smoother == "block_cheb":
         if lev.Abell is None:  # fall back to scalar-diag 4th-kind Chebyshev
             return chebyshev4(lev.A, lev.dinv, b, x, lev.cheb_lmax,
-                              degree=cfg.cheb_degree)
+                              degree=cfg.cheb_degree, x0_zero=x0_zero)
         from raptor_tpu.core.bell import block_chebyshev4
 
         return block_chebyshev4(lev.Abell, lev.binv, b, x, lev.cheb_lmax,
-                                degree=cfg.cheb_degree)
+                                degree=cfg.cheb_degree, x0_zero=x0_zero)
     if cfg.smoother == "jacobi":
-        return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega, sweeps=sweeps)
+        return jacobi(lev.A, lev.dinv, b, x, omega=cfg.omega, sweeps=sweeps,
+                      x0_zero=x0_zero)
     if cfg.smoother == "mcgs":
         return multicolor_gs(
             lev.A, lev.dinv, b, x, lev.color, ncolors=lev.ncolors,
-            sweeps=sweeps, backward=backward,
+            sweeps=sweeps, backward=backward, x0_zero=x0_zero,
         )
     if cfg.smoother == "tsgs":
         return two_stage_gs(lev.A, lev.dinv, b, x, sweeps=sweeps,
-                            inner=cfg.gs_inner, backward=backward)
+                            inner=cfg.gs_inner, backward=backward,
+                            x0_zero=x0_zero)
     if cfg.smoother == "chebyshev":
         lmax = lev.cheb_lmax
         return chebyshev(
-            lev.A, lev.dinv, b, x, lmax / 30.0, lmax, degree=cfg.cheb_degree
+            lev.A, lev.dinv, b, x, lmax / 30.0, lmax, degree=cfg.cheb_degree,
+            x0_zero=x0_zero,
         )
     if cfg.smoother == "cheb4":
         return chebyshev4(lev.A, lev.dinv, b, x, lev.cheb_lmax,
-                          degree=cfg.cheb_degree)
+                          degree=cfg.cheb_degree, x0_zero=x0_zero)
     raise ValueError(f"unknown smoother: {cfg.smoother}")
 
 
@@ -189,9 +207,10 @@ def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
         with jax.named_scope(f"L{k}.coarse_solve"):
             return _coarse_solve(hier, b)
     with jax.named_scope(f"L{k}.presmooth"):
-        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False,
+                    x0_zero=True)
     with jax.named_scope(f"L{k}.restrict"):
-        r = b - apply_op(lev, x)
+        r = b - apply_op(lev, x) if cfg.nu1 else b
         rc = apply_transfer(lev.Rband, lev.R, r)
     ec = _level(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
@@ -232,6 +251,8 @@ def _level_dense(lev: Level, cfg: AmgConfig, Meff):
     eye = jnp.eye(lev.A.n_rows_pad, dtype=lev.dinv.dtype)
 
     def step(c):
+        # no x0_zero fold here: setup-time vmapped build, identical result;
+        # an unchanged trace keeps the compile-cache entries for setup valid
         x = _smooth(lev, cfg, c, jnp.zeros_like(c), backward=False)
         r = c - apply_op(lev, x)
         rc = spmv(lev.R, r)

@@ -26,16 +26,26 @@ __all__ = ["jacobi", "multicolor_gs", "two_stage_gs", "triangular_apply",
            "chebyshev", "chebyshev4", "estimate_lmax", "greedy_coloring_host"]
 
 
-@partial(jax.jit, static_argnames=("sweeps",))
-def jacobi(A: EllMatrix, dinv, b, x, omega: float = 2.0 / 3.0, sweeps: int = 1):
-    """x <- x + omega D^{-1} (b - A x), ``sweeps`` times."""
+@partial(jax.jit, static_argnames=("sweeps", "x0_zero"))
+def jacobi(A: EllMatrix, dinv, b, x, omega: float = 2.0 / 3.0, sweeps: int = 1,
+           x0_zero: bool = False):
+    """x <- x + omega D^{-1} (b - A x), ``sweeps`` times.
+
+    ``x0_zero`` (static) asserts x == 0 on entry so the first residual is
+    just ``b`` — XLA does NOT fold ``A @ 0`` (verified on the optimized
+    HLO), and every cycle's pre-smooth starts from zero, so this elides one
+    full SpMV of HBM traffic per level per cycle.  Numerically identical
+    (b - A@0 == b except for signs of zeros)."""
     def body(_, x):
         return x + omega * dinv * (b - spmv(A, x))
 
+    if x0_zero and sweeps:
+        x = omega * dinv * b
+        return jax.lax.fori_loop(0, sweeps - 1, body, x)
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
-@partial(jax.jit, static_argnames=("ncolors", "sweeps", "backward"))
+@partial(jax.jit, static_argnames=("ncolors", "sweeps", "backward", "x0_zero"))
 def multicolor_gs(
     A: EllMatrix,
     dinv,
@@ -45,6 +55,7 @@ def multicolor_gs(
     ncolors: int,
     sweeps: int = 1,
     backward: bool = False,
+    x0_zero: bool = False,
 ):
     """Multicolor Gauss-Seidel: per color c, x_c <- x_c + (D^{-1}(b - Ax))_c.
 
@@ -63,6 +74,14 @@ def multicolor_gs(
             x = x + jnp.where(color == c, dinv * r, 0)
         return x
 
+    if x0_zero and sweeps:
+        # first color of the first sweep sees r = b exactly (x == 0): one
+        # SpMV of A@0 elided — see ``jacobi``'s docstring
+        x = jnp.where(color == order[0], dinv * b, jnp.zeros_like(b))
+        for c in order[1:]:
+            r = b - spmv(A, x)
+            x = x + jnp.where(color == c, dinv * r, 0)
+        return jax.lax.fori_loop(0, sweeps - 1, sweep, x)
     return jax.lax.fori_loop(0, sweeps, sweep, x)
 
 
@@ -84,9 +103,9 @@ def triangular_apply(A: EllMatrix, x, upper: bool, col_bound: int | None = None)
     return spmv(dataclasses.replace(A, data=jnp.where(mask, A.data, 0)), x)
 
 
-@partial(jax.jit, static_argnames=("sweeps", "inner", "backward"))
+@partial(jax.jit, static_argnames=("sweeps", "inner", "backward", "x0_zero"))
 def two_stage_gs(A: EllMatrix, dinv, b, x, sweeps: int = 1, inner: int = 2,
-                 backward: bool = False):
+                 backward: bool = False, x0_zero: bool = False):
     """Two-stage Gauss-Seidel (PAPERS.md:9, Yamazaki et al.): the exact
     triangular solve of a GS sweep, x <- x + (D+L)^{-1} (b - A x), is
     replaced by ``inner`` Jacobi iterations on the triangular system —
@@ -101,18 +120,24 @@ def two_stage_gs(A: EllMatrix, dinv, b, x, sweeps: int = 1, inner: int = 2,
     symmetric A).  inner=0 degenerates to unweighted Jacobi; inner -> inf
     recovers exact GS.
     """
-    def sweep(_, x):
-        r = b - spmv(A, x)
+    def inner_series(r):
         z = dinv * r
         for _j in range(inner):
             z = dinv * (r - triangular_apply(A, z, upper=backward))
-        return x + z
+        return z
 
+    def sweep(_, x):
+        return x + inner_series(b - spmv(A, x))
+
+    if x0_zero and sweeps:
+        x = inner_series(b)  # r = b - A@0 == b: outer SpMV elided
+        return jax.lax.fori_loop(0, sweeps - 1, sweep, x)
     return jax.lax.fori_loop(0, sweeps, sweep, x)
 
 
-@partial(jax.jit, static_argnames=("degree",))
-def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3):
+@partial(jax.jit, static_argnames=("degree", "x0_zero"))
+def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3,
+              x0_zero: bool = False):
     """Chebyshev polynomial smoothing on D^{-1}A over [lmin, lmax].
 
     Standard three-term Chebyshev semi-iteration (Saad, Iterative Methods,
@@ -124,7 +149,7 @@ def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3):
     p = jnp.zeros_like(x)
     alpha = jnp.zeros_like(d)
     for i in range(degree):
-        z = dinv * (b - spmv(A, x))
+        z = dinv * b if (x0_zero and i == 0) else dinv * (b - spmv(A, x))
         if i == 0:
             p = z
             alpha = 1.0 / d
@@ -136,8 +161,9 @@ def chebyshev(A: EllMatrix, dinv, b, x, lmin, lmax, degree: int = 3):
     return x
 
 
-@partial(jax.jit, static_argnames=("degree",))
-def chebyshev4(A: EllMatrix, dinv, b, x, lmax, degree: int = 3):
+@partial(jax.jit, static_argnames=("degree", "x0_zero"))
+def chebyshev4(A: EllMatrix, dinv, b, x, lmax, degree: int = 3,
+               x0_zero: bool = False):
     """Fourth-kind Chebyshev smoother (PAPERS.md:7, Lottes-style).
 
     Needs only the upper eigenvalue estimate (no lower-bound interval
@@ -147,7 +173,7 @@ def chebyshev4(A: EllMatrix, dinv, b, x, lmax, degree: int = 3):
         d_1 = (4/3) / lmax * D^{-1} r
         d_k = (2k-3)/(2k+1) d_{k-1} + (8k-4)/((2k+1) lmax) D^{-1} r_k
     """
-    r = b - spmv(A, x)
+    r = b if x0_zero else b - spmv(A, x)
     d = (4.0 / 3.0) / lmax * (dinv * r)
     x = x + d
     for k in range(2, degree + 1):

@@ -221,25 +221,37 @@ def _halo_spmv(A: DiaMatrix, dims_local: Vec, x_own: jax.Array) -> jax.Array:
     return y
 
 
-def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
+def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool,
+                  x0_zero: bool = False):
+    """``x0_zero`` (trace-time): x == 0 on entry, so the first residual is
+    exactly ``b`` — elides one halo-SpMV (rolls + ppermute halo) per level
+    per cycle (XLA does not fold A@0; see solver._smooth)."""
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
     spmv = lambda v: _halo_spmv(lev.A, lev.dims_local, v)
+    first = [x0_zero]  # consumed by the FIRST residual below
+
+    def res(x):
+        if first[0]:
+            first[0] = False
+            return b
+        return b - spmv(x)
+
     if cfg.smoother == "jacobi":
         for _ in range(sweeps):
-            x = x + cfg.omega * lev.dinv * (b - spmv(x))
+            x = x + cfg.omega * lev.dinv * res(x)
         return x
     if cfg.smoother == "mcgs":
         order = (False, True) if backward else (True, False)
         for _ in range(sweeps):
             for red_turn in order:
-                r = b - spmv(x)
+                r = res(x)
                 upd = lev.red if red_turn else ~lev.red
                 x = x + jnp.where(upd, lev.dinv * r, 0)
         return x
     if cfg.smoother == "cheb4":
-        r = b - spmv(x)
+        r = res(x)
         d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
         x = x + d
         for k in range(2, cfg.cheb_degree + 1):
@@ -257,7 +269,7 @@ def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(dd)
         for i in range(cfg.cheb_degree):
-            z = lev.dinv * (b - spmv(x))
+            z = lev.dinv * res(x)
             if i == 0:
                 p, alpha = z, 1.0 / dd
             else:
@@ -272,8 +284,9 @@ def _sdist_smooth(lev: SDistLevel, cfg: AmgConfig, b, x, backward: bool):
 def _sdist_level(dh: SDistHierarchy, k: int, b):
     cfg = dh.config
     lev = dh.levels[k]
-    x = _sdist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
-    r = b - _halo_spmv(lev.A, lev.dims_local, x)
+    x = _sdist_smooth(lev, cfg, b, jnp.zeros_like(b), backward=False,
+                      x0_zero=True)
+    r = b - _halo_spmv(lev.A, lev.dims_local, x) if cfg.nu1 else b
     rr = _halo_spmv(lev.Rt, lev.dims_local, r)
     if k + 1 < len(dh.levels):
         rc = _compact(rr, lev.dims_local, lev.cdim)

@@ -457,6 +457,9 @@ def _slevel_dense(lev: SLevel, cfg: AmgConfig, Meff: jax.Array) -> jax.Array:
     eye = jnp.eye(n, dtype=lev.dinv.dtype)
 
     def step(c):
+        # no x0_zero fold here: this is a setup-time vmapped build whose
+        # result is identical either way; keeping the trace unchanged keeps
+        # the persistent-compile-cache entries for the setup programs valid
         x = _smooth(lev, cfg, c, jnp.zeros_like(c), backward=False)
         r = c - dia_spmv(lev.A, x)
         rr = dia_spmv(lev.Rt, r)
@@ -553,19 +556,33 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
 # cycle + solve
 # ---------------------------------------------------------------------------
 
-def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
+def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool,
+            x0_zero: bool = False):
+    """``x0_zero`` (trace-time) asserts x == 0 on entry: the first residual
+    is exactly ``b``, eliding one full A-SpMV of HBM traffic — XLA does NOT
+    fold A@0 (verified on optimized HLO), and every cycle level's pre-smooth
+    starts from zero.  Numerically identical (b - A@0 == b up to zero
+    signs)."""
     sweeps = cfg.nu2 if backward else cfg.nu1
     if sweeps == 0:
         return x
+    first = [x0_zero]  # consumed by the FIRST residual below
+
+    def res(x):
+        if first[0]:
+            first[0] = False
+            return b
+        return b - dia_spmv(lev.A, x)
+
     if cfg.smoother == "jacobi":
         for _ in range(sweeps):
-            x = x + cfg.omega * lev.dinv * (b - dia_spmv(lev.A, x))
+            x = x + cfg.omega * lev.dinv * res(x)
         return x
     if cfg.smoother == "mcgs":  # exact red-black on the grid
         order = (False, True) if backward else (True, False)
         for _ in range(sweeps):
             for red_turn in order:
-                r = b - dia_spmv(lev.A, x)
+                r = res(x)
                 upd = lev.red if red_turn else ~lev.red
                 x = x + jnp.where(upd, lev.dinv * r, 0)
         return x
@@ -575,14 +592,14 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
         from raptor_tpu.structured.dia import dia_tri_spmv
 
         for _ in range(sweeps):
-            r = b - dia_spmv(lev.A, x)
+            r = res(x)
             z = lev.dinv * r
             for _j in range(cfg.gs_inner):
                 z = lev.dinv * (r - dia_tri_spmv(lev.A, z, upper=backward))
             x = x + z
         return x
     if cfg.smoother == "cheb4":
-        r = b - dia_spmv(lev.A, x)
+        r = res(x)
         d = (4.0 / 3.0) / lev.cheb_lmax * (lev.dinv * r)
         x = x + d
         for k in range(2, cfg.cheb_degree + 1):
@@ -600,7 +617,7 @@ def _smooth(lev: SLevel, cfg: AmgConfig, b, x, backward: bool):
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(dd)
         for i in range(cfg.cheb_degree):
-            z = lev.dinv * (b - dia_spmv(lev.A, x))
+            z = lev.dinv * res(x)
             if i == 0:
                 p, alpha = z, 1.0 / dd
             else:
@@ -622,9 +639,10 @@ def _slevel(hier: SHierarchy, cfg: AmgConfig, k: int, b):
         with jax.named_scope(f"L{k}.coarse_solve"):
             return hier.coarse_inv @ b
     with jax.named_scope(f"L{k}.presmooth"):
-        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False)
+        x = _smooth(lev, cfg, b, jnp.zeros_like(b), backward=False,
+                    x0_zero=True)
     with jax.named_scope(f"L{k}.restrict"):
-        r = b - dia_spmv(lev.A, x)
+        r = b - dia_spmv(lev.A, x) if cfg.nu1 else b
         rr = dia_spmv(lev.Rt, r)
         rc = (_compact_full(rr, lev.dims) if lev.cdim == FULL_STEP
               else _compact(rr, lev.dims, lev.cdim))
