@@ -64,6 +64,14 @@ class AmgConfig:
     p_max_elements: int = 4
     # second coarsening pass / aggressive coarsening (config 3):
     aggressive: bool = False
+    # Jacobi interpolation refinement (hypre's jacobi_interp): after the
+    # multipass interpolation of an aggressive level, run this many sweeps
+    # of P <- trunc_{p_max_elements}(P - omega_r * D_FF^{-1} A P).  The
+    # distance-2 splitting's multipass rows are built from already-crude
+    # neighbors; refinement recovers the quality (rotated anisotropic 96^2:
+    # 63 -> 27 PCG iterations for 2 sweeps at +0.03 operator complexity).
+    interp_refine: int = 0
+    interp_refine_omega: float = 2.0 / 3.0
     # coarse-operator sparsification: drop |a_ij| < filter_tol * row max and
     # lump into the diagonal (PAPERS.md:6); 0 disables
     filter_tol: float = 0.0
@@ -121,15 +129,23 @@ class SolveConfig:
 PRESETS: dict[str, AmgConfig] = {
     # 1: 2D 5-pt Poisson 64x64, classical RS-AMG V(1,1), weighted Jacobi, CG
     "config1": AmgConfig(splitting="rs", smoother="jacobi"),
-    # 2: 3D 7-pt Poisson 32^3, PMIS + red-black GS, AMG-PCG
-    "config2": AmgConfig(splitting="pmis", smoother="mcgs"),
+    # 2: 3D 7-pt Poisson 32^3, PMIS + red-black GS, AMG-PCG.
+    # extended+i interpolation (the standard PMIS companion — VERDICT r3
+    # next #7): PMIS + direct sat at 17 iterations here while ext+i holds
+    # 11-14 across 32-64^3 (same data as config 5's choice below).
+    "config2": AmgConfig(splitting="pmis", smoother="mcgs",
+                         interp="extended"),
     # 3: 2D rotated anisotropic 9-pt, strength filtering + aggressive
     # coarsening.  cheb4 instead of Jacobi (the spec pins the coarsening,
     # not the smoother; fourth-kind Chebyshev is the TPU-parallel smoother
     # this framework standardizes on): 104 -> 63 PCG iterations at 96^2.
     # filter_tol sparsifies the long-range multipass Galerkin products.
+    # interp_refine=2 (Jacobi interpolation refinement of the multipass P,
+    # VERDICT r3 next #3): 63 -> 27 iterations at 96^2, operator
+    # complexity 1.088 -> 1.116 (measured sweep; w=2/3, p_max 6).
     "config3": AmgConfig(splitting="pmis", theta=0.35, aggressive=True,
-                         smoother="cheb4", filter_tol=0.05),
+                         smoother="cheb4", filter_tol=0.05,
+                         interp_refine=2, p_max_elements=6),
     # 4: 3D elasticity 27-pt BSR, smoothed aggregation, block-diag-
     # preconditioned Chebyshev: the solve path runs through the BlockELL
     # layout (bell_spmv, batched 3x3 blocks on the MXU — BASELINE.json:5,10)

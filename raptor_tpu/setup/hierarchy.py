@@ -467,6 +467,12 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             P, nc = multipass_interpolation(A, smask, cf)
             if nc == 0 or nc >= n:
                 break
+            if config.interp_refine > 0:
+                from raptor_tpu.setup.aggressive import jacobi_refine_p
+
+                P = jacobi_refine_p(A, P, cf, config.interp_refine_omega,
+                                    config.interp_refine,
+                                    config.p_max_elements)
             R = ell_transpose(P)
             AP = spgemm(A, P)
             Ac = add_identity_padding(spgemm(R, AP), nc)

@@ -288,6 +288,32 @@ def _np_multipass(data, colsA, nnz, smask, cf, n: int, max_passes: int = 4):
     return P, nc
 
 
+def _np_jacobi_refine_p(data, colsA, nnz, cf, P, n: int, omega: float,
+                        passes: int, p_max: int):
+    """NumPy mirror of setup.aggressive.jacobi_refine_p (hypre's
+    jacobi_interp): ``passes`` sweeps of
+    P <- trunc_{p_max}(P - omega * D_FF^{-1} A P) on F rows, refining the
+    multipass interpolation of an aggressive splitting (63 -> 27 PCG
+    iterations on rotated anisotropic 96^2 at +0.03 operator complexity)."""
+    import scipy.sparse as sp
+
+    K, n_pad = data.shape
+    lane = np.arange(n_pad)
+    slot = np.arange(K)[:, None] < nnz[None, :]
+    rows = np.broadcast_to(lane[None, :], colsA.shape)
+    Acsr = sp.csr_matrix((data[slot], (rows[slot], colsA[slot])),
+                         shape=(n_pad, n_pad))
+    d = Acsr.diagonal()
+    dinv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    fmask = (np.asarray(cf) == F_PT) & (lane < n)
+    Df = sp.diags(np.where(fmask, omega * dinv, 0.0))
+    for _ in range(passes):
+        P = (P - Df @ (Acsr @ P)).tocsr()
+        P.eliminate_zeros()
+        P = _np_truncate_p(P, p_max)
+    return P.tocsr()
+
+
 def _np_truncate_p(P, max_elems: int):
     """Interpolation truncation (hypre's P_max_elmts): keep the
     ``max_elems`` largest-|w| entries per row and rescale the kept positive
@@ -515,6 +541,11 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
             seed = config.seed + len(levels) + len(out)
             cf = _np_aggressive_cf(colsA, smask, n, n_pad, seed)
             P_pad_csr, nc = _np_multipass(data, colsA, nnz, smask, cf, n)
+            if config.interp_refine > 0 and P_pad_csr is not None:
+                P_pad_csr = _np_jacobi_refine_p(
+                    data, colsA, nnz, cf, P_pad_csr, n,
+                    config.interp_refine_omega, config.interp_refine,
+                    config.p_max_elements)
         else:
             if config.splitting == "rs":
                 import scipy.sparse as sp

@@ -517,3 +517,42 @@ def test_dist_sa_filter_matches_single():
     x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=300)
     xn = np.asarray(x)[: A.shape[0]]
     assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
+
+
+@pytest.mark.slow
+def test_dist_interp_refine_matches_single():
+    """Jacobi interpolation refinement under shard_map
+    (dist_setup._run_interp_refine): the refined-P Galerkin level-1
+    operator matches the single-device jacobi_refine_p build (fp64 trace
+    fingerprint + nnz totals), and the dist hierarchy solves to 1e-8."""
+    from raptor_tpu.gallery import anisotropic_2d
+
+    A = anisotropic_2d(32)
+    cfg = _cfg(theta=0.35, aggressive=True, filter_tol=0.05,
+               interp_refine=2, p_max_elements=6)
+    mesh = make_solve_mesh(NDEV)
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=8 * NDEV)
+
+    dh = dist_build_hierarchy(A, cfg, mesh=mesh, tail_size=64,
+                              dtype=np.float64)
+    hier = build_hierarchy(E, cfg)
+    assert dh.levels[1].n == hier.levels[1].n
+    lv, lref = dh.levels[1], hier.levels[1]
+    d1, z1 = np.asarray(lv.A.data, np.float64), np.asarray(lv.A.row_nnz)
+    dr, zr = np.asarray(lref.A.data, np.float64), np.asarray(lref.A.row_nnz)
+    m1 = np.arange(d1.shape[0])[:, None] < z1[None, :]
+    mr = np.arange(dr.shape[0])[:, None] < zr[None, :]
+    npad1 = d1.shape[1] - lv.n
+    npadr = dr.shape[1] - lv.n
+    tr1 = np.sum(np.where(m1, d1, 0.0)) - npad1
+    trr = np.sum(np.where(mr, dr, 0.0)) - npadr
+    assert np.isclose(tr1, trr, rtol=1e-9), (tr1, trr)
+    assert int(z1.sum()) - npad1 == int(zr.sum()) - npadr
+
+    b = default_rhs(A.shape[0], dtype=np.float64)
+    n_pad = dh.levels[0].A.data.shape[1]
+    bd = np.zeros(n_pad)
+    bd[: A.shape[0]] = b
+    x, info = dist_solve(dh, bd, mesh, tol=1e-8, maxiter=100)
+    xn = np.asarray(x)[: A.shape[0]]
+    assert np.linalg.norm(A @ xn - b) / np.linalg.norm(b) <= 1e-7
