@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -436,6 +437,16 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
 
 
 def main():
+    # global wall-clock budget: the driver kills the whole bench at ~45 min
+    # and a killed bench loses the headline line (VERDICT r3 weak #5).  Every
+    # detail subprocess below fits itself into what remains and is skipped
+    # (with a visible marker) rather than risking the final JSON line.
+    t_bench_start = time.perf_counter()
+    budget_s = float(os.environ.get("RAPTOR_BENCH_BUDGET_S", "2280"))
+
+    def _remaining() -> float:
+        return budget_s - (time.perf_counter() - t_bench_start)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="grid points per dim")
     ap.add_argument("--cycles", type=int, default=20)
@@ -689,10 +700,11 @@ def main():
                 return json.loads(p.stdout.strip().splitlines()[-1])
 
             try:
-                # 45 min ceiling: the cold 256^3 refined-solve compile alone
-                # runs tens of minutes through the remote-TPU tunnel; with
-                # the persistent .jax_cache_tpu warm it's a few minutes
-                m2 = _run256([], 2700)
+                # cold 256^3 refined-solve compile alone runs tens of minutes
+                # through the remote-TPU tunnel (warm .jax_cache_tpu: a few
+                # minutes) — fit it into the global budget, leaving at least
+                # ~17 min for the algebraic-engine detail rows below
+                m2 = _run256([], min(2700, max(300, _remaining() - 1000)))
             except Exception as e1:
                 # degrade instead of erroring the whole 256^3 block: the
                 # first attempt populated the compile cache for the setup
@@ -700,7 +712,8 @@ def main():
                 # still yields the throughput/setup numbers
                 log(f"[256^3] full measure failed ({type(e1).__name__}: "
                     f"{e1}); retrying --no-solve")
-                m2 = _run256(["--no-solve"], 1500)
+                m2 = _run256(["--no-solve"],
+                             min(1500, max(300, _remaining() - 700)))
                 m2["solve_note"] = (f"solve measurement failed "
                                     f"({type(e1).__name__}); -1 fields are "
                                     f"the --no-solve fallback")
@@ -729,6 +742,14 @@ def main():
         import subprocess
         import sys as _sys
 
+        # fit into the remaining global budget (reserve 90 s for the CPU
+        # baseline + final emission); a skipped row is driver-visible, a
+        # killed bench is not
+        timeout_s = min(timeout_s, _remaining() - 90)
+        if timeout_s < 120:
+            log(f"[{flag}] SKIPPED: bench budget exhausted "
+                f"({_remaining():.0f}s left)")
+            return {"error": "skipped: bench wall-clock budget exhausted"}
         try:
             p = subprocess.run(
                 [_sys.executable, __file__, flag], capture_output=True,
@@ -743,13 +764,16 @@ def main():
             log(f"[{flag}] FAILED: {type(e).__name__}: {e}")
             return {"error": f"{type(e).__name__}: {e}"}
 
+    # priority order under the budget: the algebraic-engine-at-scale rows
+    # (VERDICT r3 next #2) are this round's new evidence and run first; the
+    # acceptance-config rows repeat round-3 evidence and degrade last
+    alg128_detail = ({} if (args.no_configs or not on_tpu)
+                     else _sub_json("--alg128-only", 1500))
+    devsetup_detail = ({} if (args.no_configs or not on_tpu)
+                       else _sub_json("--devsetup-only", 900))
     configs_detail = {} if args.no_configs else _sub_json("--configs-only",
                                                           2400)
-    alg_detail = {} if args.no_configs else _sub_json("--alg-only", 2700)
-    alg128_detail = ({} if (args.no_configs or not on_tpu)
-                     else _sub_json("--alg128-only", 2700))
-    devsetup_detail = ({} if (args.no_configs or not on_tpu)
-                       else _sub_json("--devsetup-only", 2400))
+    alg_detail = {} if args.no_configs else _sub_json("--alg-only", 1200)
 
     # ---- CPU-core-equivalent baseline (same size as the device headline:
     # cache-resident small problems flatter the CPU — VERDICT r1 weak #9;

@@ -173,11 +173,68 @@ def _min_extract_merge(cols, vals, sent, k_out):
     return oc, ov, nnz, leftover
 
 
+# HBM fence for the expand phase: the (Kb*Ka, n) candidate arrays are the
+# peak allocation of setup (VERDICT r4: 56x56x650k fp32 = 7.6 GiB blew the
+# 16 GiB chip on the 128^3 algebraic row).  Above this element count the
+# expand+merge runs row-chunked under lax.map: one compiled body, bounded
+# live set (~4 buffers of W*chunk elements), identical results.
+_EXPAND_ELEM_BUDGET = 1 << 26  # 64M elems = 256 MiB per (W, chunk) fp32 buffer
+
+
+def _row_chunk_plan(W: int, n: int):
+    """(n_chunks, chunk) splitting the row axis so W*chunk stays under
+    budget, or None when no chunking is needed.  chunk is lane-aligned."""
+    if W * n <= _EXPAND_ELEM_BUDGET or n <= 128:
+        return None
+    n_chunks = -(-(W * n) // _EXPAND_ELEM_BUDGET)
+    chunk = ((-(-n // n_chunks) + 127) // 128) * 128
+    return -(-n // chunk), chunk
+
+
+def _chunked_rows(A: EllMatrix, n_chunks: int, chunk: int):
+    """Reshape A's per-row arrays to (n_chunks, ..., chunk), zero-padding the
+    tail; padded rows have row_nnz=0 so they expand to pure sentinels."""
+    npad = n_chunks * chunk
+    pad = npad - A.n_rows_pad
+    data = jnp.pad(A.data, ((0, 0), (0, pad)))
+    cols = jnp.pad(A.cols, ((0, 0), (0, pad)))
+    rnnz = jnp.pad(A.row_nnz, (0, pad))
+    return {
+        "data": data.reshape(A.K, n_chunks, chunk).transpose(1, 0, 2),
+        "cols": cols.reshape(A.K, n_chunks, chunk).transpose(1, 0, 2),
+        "row_nnz": rnnz.reshape(n_chunks, chunk),
+    }
+
+
+def _chunk_matrix(ch, B: EllMatrix, chunk: int) -> EllMatrix:
+    return EllMatrix(data=ch["data"], cols=ch["cols"], row_nnz=ch["row_nnz"],
+                     shape=(chunk, B.shape[1]), n_rows_pad=chunk,
+                     n_cols_pad=B.n_cols_pad)
+
+
+def _spgemm_core(A: EllMatrix, B: EllMatrix, k_out: int):
+    """Traceable expand+merge with the HBM fence (shared by the jitted
+    wrappers and the fused setup programs in setup/hierarchy.py)."""
+    plan = _row_chunk_plan(A.K * B.K, A.n_rows_pad)
+    if plan is None:
+        cols, vals, sent = _expand_candidates(A, B)
+        return _min_extract_merge(cols, vals, sent, k_out)
+    n_chunks, chunk = plan
+
+    def body(ch):
+        cols, vals, sent = _expand_candidates(_chunk_matrix(ch, B, chunk), B)
+        return _min_extract_merge(cols, vals, sent, k_out)
+
+    oc, ov, nnz, lo = jax.lax.map(body, _chunked_rows(A, n_chunks, chunk))
+    n = A.n_rows_pad
+    out_cols = oc.transpose(1, 0, 2).reshape(k_out, n_chunks * chunk)[:, :n]
+    out_vals = ov.transpose(1, 0, 2).reshape(k_out, n_chunks * chunk)[:, :n]
+    return out_cols, out_vals, nnz.reshape(-1)[:n], jnp.max(lo)
+
+
 @partial(jax.jit, static_argnames=("k_out",))
 def _spgemm_fixed_full(A: EllMatrix, B: EllMatrix, k_out: int):
-    cols, vals, sent = _expand_candidates(A, B)
-    out_cols, out_vals, row_nnz, leftover = _min_extract_merge(
-        cols, vals, sent, k_out)
+    out_cols, out_vals, row_nnz, leftover = _spgemm_core(A, B, k_out)
     out_cols = _fix_padding_cols(out_cols, row_nnz, B.n_cols_pad)
     C = EllMatrix(
         data=out_vals,
@@ -217,11 +274,27 @@ def _width_by_min_extract(cols, sent):
     return k
 
 
+def _spgemm_width_core(A: EllMatrix, B: EllMatrix) -> jax.Array:
+    """Traceable max-distinct-columns of A @ B, with the same HBM fence as
+    `_spgemm_core` (used directly inside the fused setup programs)."""
+    plan = _row_chunk_plan(A.K * B.K, A.n_rows_pad)
+    if plan is None:
+        cols, _, sent = _expand_candidates(A, B, with_vals=False)
+        return _width_by_min_extract(cols, sent)
+    n_chunks, chunk = plan
+
+    def body(ch):
+        cols, _, sent = _expand_candidates(
+            _chunk_matrix(ch, B, chunk), B, with_vals=False)
+        return _width_by_min_extract(cols, sent)
+
+    return jnp.max(jax.lax.map(body, _chunked_rows(A, n_chunks, chunk)))
+
+
 @partial(jax.jit)
 def _spgemm_width(A: EllMatrix, B: EllMatrix) -> jax.Array:
     """Max distinct columns of any row of A @ B (for the two-phase wrapper)."""
-    cols, _, sent = _expand_candidates(A, B, with_vals=False)
-    return _width_by_min_extract(cols, sent)
+    return _spgemm_width_core(A, B)
 
 
 def spgemm(A: EllMatrix, B: EllMatrix, k_out: int | None = None) -> EllMatrix:

@@ -27,10 +27,9 @@ import numpy as np
 from raptor_tpu.config import AmgConfig
 from raptor_tpu.core.ell import EllMatrix, ell_from_csr, pad_rows
 from raptor_tpu.ops.sparse_ops import (
-    _expand_candidates,
     _spgemm_fixed_full,
+    _spgemm_width,
     _transpose_col_counts,
-    _width_by_min_extract,
     ell_filter,
     ell_filter_fixed,
     ell_transpose,
@@ -189,7 +188,7 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
                   interp, want_lmax, p_max=4):
     """Fused first half of one setup level, ONE compiled program:
     strength -> splitting -> interpolation -> width measurements -> smoother
-    scalars.  The host reads back four scalars in a single sync and then
+    scalars.  The host reads back the per-level scalars in one sync, then
     launches `_level_phase2` with static (bucketed) widths.  Fusing kills the
     ~30 per-level op-by-op dispatch compiles that dominated cold algebraic
     setup on the remote TPU compiler (VERDICT r2 missing #1)."""
@@ -220,12 +219,18 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
     else:
         P, nc = direct_interpolation(A, smask, cf)
     w_T = jnp.max(_transpose_col_counts(P))
-    wcols, _, sent = _expand_candidates(A, P, with_vals=False)
-    w_AP = _width_by_min_extract(wcols, sent)
+    # w_P = true max interp row width: the host slices P's slot axis down to
+    # bucket8(w_P) before the AP/RAP SpGEMMs.  The interp builders emit P at
+    # a conservative static slot bound (ext+i: K*(K2+1), 56+ on coarse
+    # levels) while true rows hold <= p_max+O(1) entries — compacting first
+    # cuts the O(k_out * K_A*K_P * n) merge work and its (K_A*K_P, n) expand
+    # allocation by the same ~7x factor (VERDICT r4: the uncompacted expand
+    # OOMed 16 GiB HBM at 128^3 and the 96^3 device setup ran 70 s warm).
+    w_P = jnp.max(P.row_nnz)
     d = A.diagonal()
     dinv = 1.0 / jnp.where(d != 0, d, 1.0)
     lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
-    return P, dinv, lmax, cf, jnp.stack([nc, w_T, w_AP])
+    return P, dinv, lmax, cf, jnp.stack([nc, w_T, w_P])
 
 
 @partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc", "filter_tol"))
@@ -254,7 +259,7 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     """Run one classical setup level through the two fused programs.
 
     Returns (P, R, Ac, nc, dinv, lmax_or_None, cf) with Ac compacted to its
-    (bucketed) true width.  Two host syncs per level total.
+    (bucketed) true width.  Three host syncs per level total.
     """
     if perm is None:
         perm = make_perm(n, A.n_rows_pad, seed)
@@ -266,17 +271,24 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     # sync 1 — cf rides the same round trip (build_hierarchy filters its
     # row-id array by it; a separate pull costs a full tunnel round trip)
     scal, cf = jax.device_get((scal, cf))
-    nc, w_T, w_AP = (int(v) for v in np.asarray(scal))
+    nc, w_T, w_P = (int(v) for v in np.asarray(scal))
     if nc == 0 or nc >= n:
         return None, None, None, nc, dinv, (lmax if want_lmax else None), cf
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
+    # compact P's slot axis to its true (bucketed) width — legal because the
+    # ELL invariant front-packs real entries below row_nnz; this shrinks the
+    # AP expand, the R transpose, and every solve-path spmv(P) alike
+    k_P = min(_bucket8(w_P), P.K)
+    if k_P < P.K:
+        P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
+    w_AP = max(int(_spgemm_width(A, P)), 1)  # sync 2 (cheap: compacted P)
     k_T, k_AP = _bucket8(w_T), _bucket8(w_AP)
     k_Ac = _bucket8(3 * A.K + 8)
     while True:
         R, Ac_wide, scal2 = _level_phase2(
             A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
             filter_tol=config.filter_tol)
-        w_true, leftover = (int(v) for v in np.asarray(scal2))  # sync 2
+        w_true, leftover = (int(v) for v in np.asarray(scal2))  # sync 3
         if leftover == 0:
             break
         k_Ac = _bucket8(k_Ac + leftover)  # optimistic guess too small: repair

@@ -119,3 +119,32 @@ def test_filtered_hierarchy_converges():
                                     filter_tol=0.02),
                     SolveConfig(dtype="float64", maxiter=300))
     assert info["relres"] <= 1e-8
+
+
+def test_spgemm_chunked_matches_unchunked(monkeypatch):
+    """The HBM-fenced row-chunked expand+merge (raptor_tpu/ops/sparse_ops.py
+    `_row_chunk_plan`) is bit-identical to the single-shot path, including a
+    chunk-boundary-straddling tail and the width measurement."""
+    import raptor_tpu.ops.sparse_ops as so
+
+    a = poisson_2d(20)  # n=400: forces several 128-row chunks under the fence
+    P = random_csr(400, 120, 0.05, 3)
+    Ea = ell_from_csr(a, dtype=np.float64)
+    Ep = ell_from_csr(P, dtype=np.float64, identity_pad_rows=False)
+    w_ref = int(so._spgemm_width(Ea, Ep))
+    C_ref = so.spgemm_fixed(Ea, Ep, w_ref)
+    monkeypatch.setattr(so, "_EXPAND_ELEM_BUDGET", 1 << 14)
+    so._spgemm_width.clear_cache()
+    so._spgemm_fixed_full.clear_cache()
+    assert so._row_chunk_plan(Ea.K * Ep.K, Ea.n_rows_pad) is not None
+    try:
+        w = int(so._spgemm_width(Ea, Ep))
+        assert w == w_ref
+        C = so.spgemm_fixed(Ea, Ep, w)
+        assert np.array_equal(np.asarray(C.cols), np.asarray(C_ref.cols))
+        assert np.array_equal(np.asarray(C.data), np.asarray(C_ref.data))
+        assert np.array_equal(np.asarray(C.row_nnz), np.asarray(C_ref.row_nnz))
+        assert np.allclose(ell_to_csr(C).toarray(), (a @ P).toarray())
+    finally:
+        so._spgemm_width.clear_cache()
+        so._spgemm_fixed_full.clear_cache()
