@@ -149,7 +149,14 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
                         lev = dataclasses.replace(lev, Ahyb=H)
                         attached = True
             if not attached:
-                B = banded_from_ell(lev.A)
+                # reorder=True: coarse levels inherit the fine ordering
+                # compressed through the irregular PMIS C-set, which can
+                # inflate the bandwidth past the kernel caps (128^3 L1:
+                # kh 26/npage 53 vs caps 24/48) — an RCM re-banding of just
+                # that level re-enters the bounds, and its two O(n) takes
+                # per apply are ~50x cheaper than the K*n gather-ELL SpMV
+                # the level otherwise falls back to
+                B = banded_from_ell(lev.A, reorder=lev is not hier.levels[0])
                 if B is not None and B.n_pad == lev.A.n_rows_pad:
                     lev = dataclasses.replace(lev, Aband=B)
                     attached = True

@@ -206,7 +206,7 @@ def hybrid_spmv(H: HybridMatrix, x: jax.Array) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["vals", "pidx", "perm", "iperm"],
-    meta_fields=["meta", "shape"],
+    meta_fields=["meta", "shape", "reordered"],
 )
 @dataclasses.dataclass(frozen=True)
 class BandedMatrix:
@@ -218,6 +218,11 @@ class BandedMatrix:
     iperm: jax.Array  # (n_pad,) RCM slot of original index
     meta: Tuple[int, ...]  # (K, n, tile, kh, npage, Wp) — static
     shape: Tuple[int, int]
+    # True when the layout's internal ordering differs from the caller's
+    # vector ordering (a coarse hierarchy level re-banded by RCM,
+    # ``banded_from_ell(reorder=True)``): apply through ``banded_spmv``
+    # (gather in / scatter out), not ``banded_spmv_ro``
+    reordered: bool = False
 
     @property
     def n_pad(self) -> int:
@@ -292,11 +297,20 @@ def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
     )
 
 
-def banded_from_ell(E: EllMatrix, tile: int = 1024) -> Optional[BandedMatrix]:
+def banded_from_ell(E: EllMatrix, tile: int = 1024,
+                    reorder: bool = False) -> Optional[BandedMatrix]:
     """EllMatrix (already band-ordered, e.g. a level of an RCM-built
     hierarchy) -> BandedMatrix, identity perms.  Skips the csr round trip of
     ``banded_from_csr`` — the level's entry-major numpy arrays ARE the
-    plan's input (measured ~3x faster layout attach at 48^3)."""
+    plan's input (measured ~3x faster layout attach at 48^3).
+
+    ``reorder=True``: when the given ordering exceeds the kernel's plan
+    bounds, RCM the matrix and retry, returning a ``reordered`` layout whose
+    apply permutes in/out (core use: PMIS-coarsened natural-order levels —
+    the irregular coarse-index compression inflates the inherited bandwidth
+    past the caps at 128^3 scale; RCM recovers ~25-30%%, enough to re-enter
+    the plan bounds, and two O(n) takes per apply beat the K*n gather-ELL
+    SpMV by ~2 orders at n~1e6)."""
     from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError, banded_plan
 
     if E.n_rows_pad % tile != 0:
@@ -309,7 +323,9 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024) -> Optional[BandedMatrix]:
     try:
         plan = banded_plan(cols, nnz, vals, tile=tile)
     except BandedPlanError:
-        return None
+        if not reorder:
+            return None
+        return _banded_from_ell_rcm(E, tile)
     eye = np.arange(E.n_rows_pad, dtype=np.int32)
     return BandedMatrix(
         vals=plan["vals"], pidx=plan["pidx"],
@@ -317,6 +333,43 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024) -> Optional[BandedMatrix]:
         meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
               plan["npage"], plan["Wp"]),
         shape=E.shape,
+    )
+
+
+def _banded_from_ell_rcm(E: EllMatrix, tile: int) -> Optional[BandedMatrix]:
+    """RCM-retry half of ``banded_from_ell(reorder=True)``: symmetric-
+    permute the logical block (identity-padded tail rows stay in place),
+    re-plan, and mark the layout ``reordered``."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from raptor_tpu.core.ell import ell_to_csr
+    from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError, banded_plan
+
+    n = E.shape[0]
+    n_pad = E.n_rows_pad
+    a = ell_to_csr(E).tocsr()[:n, :n]
+    p = np.asarray(
+        reverse_cuthill_mckee(a + a.T, symmetric_mode=True)).astype(np.int64)
+    perm_pad = np.arange(n_pad, dtype=np.int64)
+    perm_pad[:n] = p
+    iperm_pad = np.arange(n_pad, dtype=np.int64)
+    iperm_pad[p] = np.arange(n)
+    vals = np.asarray(E.data)[:, perm_pad]
+    nnz = np.asarray(E.row_nnz)[perm_pad]
+    # cols: remap ids to the new ordering, then reorder rows; padding slots
+    # hold col 0 / value 0 — any in-range id is harmless
+    cols = iperm_pad[np.asarray(E.cols)][:, perm_pad]
+    try:
+        plan = banded_plan(cols, nnz, vals, tile=tile)
+    except BandedPlanError:
+        return None
+    return BandedMatrix(
+        vals=plan["vals"], pidx=plan["pidx"],
+        perm=jnp.asarray(perm_pad.astype(np.int32)),
+        iperm=jnp.asarray(iperm_pad.astype(np.int32)),
+        meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
+              plan["npage"], plan["Wp"]),
+        shape=E.shape, reordered=True,
     )
 
 

@@ -281,6 +281,24 @@ def _fused_level(A: EllMatrix, n: int, config: AmgConfig, seed: int,
     k_P = min(_bucket8(w_P), P.K)
     if k_P < P.K:
         P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
+    if config.interp == "extended" and config.fat_interp_refine > 0:
+        from raptor_tpu.setup.interp import EXT_DEVICE_MAX_K
+
+        if A.K > EXT_DEVICE_MAX_K:
+            # this level's interpolation fell back to direct (phase1: the
+            # jitted ext+i slot bound is quadratic in K) — recover the lost
+            # quality with Jacobi interpolation refinement sweeps, which
+            # reach the same distance-2 information through an A @ P
+            # product instead of a per-row candidate set (measured at 48^3
+            # with the device path forced: direct fallback 14 PCG
+            # iterations -> 10 with one sweep, matching the host ext+i oracle)
+            from raptor_tpu.setup.aggressive import jacobi_refine_p
+
+            P = jacobi_refine_p(A, P, jnp.asarray(cf),
+                                config.interp_refine_omega,
+                                config.fat_interp_refine,
+                                config.p_max_elements)
+            w_T = int(jnp.max(_transpose_col_counts(P)))  # pattern changed
     w_AP = max(int(_spgemm_width(A, P)), 1)  # sync 2 (cheap: compacted P)
     k_T, k_AP = _bucket8(w_T), _bucket8(w_AP)
     k_Ac = _bucket8(3 * A.K + 8)

@@ -46,8 +46,13 @@ def apply_op(lev: Level, x):
 
         return hybrid_spmv_ro(lev.Ahyb, x)
     if lev.Aband is not None:
-        from raptor_tpu.core.hybrid import banded_spmv_ro
+        from raptor_tpu.core.hybrid import banded_spmv, banded_spmv_ro
 
+        if lev.Aband.reordered:
+            # RCM'd coarse level (banded_from_ell(reorder=True)): the layout
+            # ordering differs from the level's vector ordering — two O(n)
+            # takes bracket the kernel
+            return banded_spmv(lev.Aband, x)
         return banded_spmv_ro(lev.Aband, x)
     return spmv(lev.A, x)
 

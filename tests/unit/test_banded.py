@@ -124,3 +124,50 @@ def test_banded_layout_iteration_parity():
     assert i_ell["stats"]["sizes"] == i_band["stats"]["sizes"]
     assert i_ell["iterations"] == i_band["iterations"]
     assert i_band["relres"] <= 1e-8
+
+
+def test_banded_from_ell_reorder_fallback():
+    """`banded_from_ell(reorder=True)` (core/hybrid.py): when the given
+    ordering exceeds the plan caps, the RCM retry returns a `reordered`
+    layout whose permuting apply (`banded_spmv`) still computes the exact
+    SpMV in the CALLER's ordering — the 128^3 alg-engine L1 path."""
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.core.hybrid import banded_from_ell
+
+    # 40^3: shuffled natural bandwidth ~n >> 24k caps; RCM ~O(n^(2/3)) fits
+    A = _shuffled_poisson(40)
+    n = A.shape[0]
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=1024)
+    assert banded_from_ell(E) is None, "natural order must exceed the caps"
+    B = banded_from_ell(E, reorder=True)
+    assert B is not None and B.reordered
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(E.n_rows_pad)
+    y = np.asarray(banded_spmv(B, jnp.asarray(x)))
+    assert np.allclose(y[:n], A @ x[:n], rtol=1e-12, atol=1e-12)
+
+
+def test_cycle_applies_reordered_banded_level():
+    """apply_op (solve/cycle.py) routes a `reordered` banded level through
+    the permuting apply — same result as the scalar ELL operator."""
+    import dataclasses
+
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.core.hybrid import banded_from_ell
+    from raptor_tpu.setup.hierarchy import Level
+    from raptor_tpu.solve.cycle import apply_op
+
+    A = _shuffled_poisson(40)
+    E = ell_from_csr(A, dtype=np.float64, row_pad_multiple=1024)
+    B = banded_from_ell(E, reorder=True)
+    assert B is not None and B.reordered
+    d = A.diagonal()
+    dinv = jnp.asarray(np.concatenate(
+        [1.0 / d, np.ones(E.n_rows_pad - A.shape[0])]))
+    lev = Level(A=E, dinv=dinv, P=None, R=None, color=None, cheb_lmax=None,
+                n=A.shape[0], ncolors=1, Aband=B)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(E.n_rows_pad))
+    from raptor_tpu.ops.sparse_ops import spmv
+
+    assert np.allclose(np.asarray(apply_op(lev, x)),
+                       np.asarray(spmv(E, x)), rtol=1e-12, atol=1e-12)
