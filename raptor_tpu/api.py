@@ -72,15 +72,21 @@ def _plane_stats(deltas: np.ndarray, n: int, max_offsets: int = 32):
     return float(top.sum() / deltas.size), float(top.sum() / (len(top) * n))
 
 
-def _plane_stats_ell(E) -> tuple:
-    """_plane_stats over a (host-numpy) EllMatrix's real slots."""
-    data = np.asarray(E.data)
-    cols = np.asarray(E.cols)
-    nnz = np.asarray(E.row_nnz)
+def _plane_stats_ell(E, max_rows: int = 65536) -> tuple:
+    """_plane_stats over a (host-numpy) EllMatrix's real slots.
+
+    Rows are strided down to <= max_rows: the result only routes the level
+    to the DIA-plane vs banded layout, and a 64k-row stride estimates
+    coverage/efficiency to well under the 0.9/0.5 decision margins — the
+    full pass built several K*n_pad temporaries and a 36M-entry unique
+    sort (~17 s at 128^3 L1, measured round 4)."""
     n = E.shape[0]
-    lane = np.arange(E.n_rows_pad)
-    slot = (np.arange(E.K)[:, None] < nnz[None, :]) & (lane < n)[None, :]
-    return _plane_stats((cols - lane[None, :])[slot], n)
+    step = max(1, -(-n // max_rows))
+    rows = np.arange(0, n, step)
+    cols = np.asarray(E.cols)[:, rows]
+    nnz = np.asarray(E.row_nnz)[rows]
+    slot = np.arange(E.K)[:, None] < nnz[None, :]
+    return _plane_stats((cols - rows[None, :])[slot], rows.size)
 
 
 def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
@@ -119,21 +125,28 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
         ).astype(np.int64)
     ar = a[p][:, p].tocsr()
 
+    import time as _time
+
+    from raptor_tpu.setup.hierarchy import _setup_tick
+
+    _t0 = _time.perf_counter()
     pm_mult = int(np.lcm(config.pad_multiple, 1024))
     # device=False / stage=False: the banded layout attach below reads every
     # level's arrays on host — keep the whole build in numpy and upload the
     # finished hierarchy once (each device pull is a full tunnel round trip)
     E = ell_from_csr(ar, dtype=dtype, row_pad_multiple=pm_mult, device=False)
+    _t0 = _setup_tick("ell_from_csr", _t0)
     cfg = dataclasses.replace(config, pad_multiple=pm_mult)
     # row_ids=p: PMIS weights key on ORIGINAL row ids, so the C/F sets (and
     # hence Krylov iteration counts) are identical to the unpermuted build
     # (VERDICT r2 weak #4: the RCM-seeded order cost ~3 iterations)
     hier = build_hierarchy(E, cfg, dtype=dtype, row_ids=p, stage=False)
+    _t0 = _setup_tick("build_hierarchy", _t0)
 
     from raptor_tpu.core.hybrid import rect_banded_from_ell
 
     levels = []
-    for lev in hier.levels:
+    for _i, lev in enumerate(hier.levels):
         if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
             attached = False
             if plane_mode:
@@ -168,6 +181,7 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
                 Rb = rect_banded_from_ell(
                     lev.R, pad_rows(lev.R.n_cols_pad, 1024))
                 lev = dataclasses.replace(lev, Pband=Pb, Rband=Rb)
+            _t0 = _setup_tick(f"layout attach L{_i} (n={lev.n})", _t0)
         levels.append(lev)
 
     n_pad = hier.levels[0].A.n_rows_pad
@@ -177,9 +191,11 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     iperm[:n][p] = np.arange(n)
     from raptor_tpu.setup.hierarchy import stage_hierarchy
 
-    return stage_hierarchy(dataclasses.replace(
+    out = stage_hierarchy(dataclasses.replace(
         hier, levels=tuple(levels), perm=perm, iperm=iperm,
     ))
+    _setup_tick("stage_hierarchy", _t0)
+    return out
 
 
 @partial(jax.jit, static_argnames=("maxiter", "outer", "krylov", "restart"))
@@ -226,7 +242,10 @@ def solve_hier_refined(
     # fused-kernel residual (ops/pallas/banded_kernel): one pass reading xh
     # once per tile through the paged vreg gather, vs K full-vector HBM
     # gathers + ~4K elementwise passes for the jnp.take chain below
-    use_band_resid = band is not None and (
+    # far is not None: a near/far-split band's fused kernel would drop the
+    # out-of-window entries from the certified residual — use the exact
+    # jnp.take chain below instead
+    use_band_resid = band is not None and band.far is None and (
         lo is None or hier.a0_lo_band is not None)
 
     def residual(xh, xl, bh, bl):

@@ -205,8 +205,46 @@ def hybrid_spmv(H: HybridMatrix, x: jax.Array) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "pidx", "perm", "iperm"],
-    meta_fields=["meta", "shape", "reordered"],
+    data_fields=["rows", "cols", "vals"],
+    meta_fields=["meta"],
+)
+@dataclasses.dataclass(frozen=True)
+class FarBlock:
+    """Compacted row-subset remainder of a near/far-split banded layout
+    (ops/pallas/banded_kernel._compact_far): the ~1-5% of entries outside
+    the kernel's window cap, stored only for the rows that have them.
+    Apply: y.at[rows].add(sum_k vals[k] * x[cols[k]]) — K_far * m gathers
+    plus an m-row scatter-add, vs the full K * n_pad gather-ELL fallback
+    it replaces (measured 143 ms for the 128^3 L0 restrict, round 4)."""
+
+    rows: jax.Array  # (m_pad,) int32 target rows; padding -> pad_row, 0 vals
+    cols: jax.Array  # (K_far, m_pad) int32 into the x space
+    vals: jax.Array  # (K_far, m_pad)
+    meta: Tuple[int, ...]  # (K_far, m) — static
+
+
+def far_spmv_add(y: jax.Array, far: Optional[FarBlock],
+                 x: jax.Array) -> jax.Array:
+    """y += far @ x (no-op when far is None)."""
+    if far is None:
+        return y
+    part = jnp.sum(far.vals.astype(y.dtype) * x[far.cols].astype(y.dtype),
+                   axis=0)
+    return y.at[far.rows].add(part)
+
+
+def _far_from_dict(d) -> Optional[FarBlock]:
+    if d is None:
+        return None
+    return FarBlock(rows=jnp.asarray(d["rows"]), cols=jnp.asarray(d["cols"]),
+                    vals=jnp.asarray(d["vals"]),
+                    meta=(int(d["cols"].shape[0]), int(d["m"])))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vals", "pidx", "perm", "iperm", "far"],
+    meta_fields=["meta", "shape", "reordered", "slot_ranges"],
 )
 @dataclasses.dataclass(frozen=True)
 class BandedMatrix:
@@ -223,6 +261,12 @@ class BandedMatrix:
     # ``banded_from_ell(reorder=True)``): apply through ``banded_spmv``
     # (gather in / scatter out), not ``banded_spmv_ro``
     reordered: bool = False
+    # near/far split (banded_plan_split): out-of-window remainder, in the
+    # SAME ordering as vals/pidx
+    far: Optional[FarBlock] = None
+    # static per-slot page ranges (banded_plan `ranges`): shrink the
+    # kernel's page-select chain where slots are page-coherent
+    slot_ranges: Optional[Tuple] = None
 
     @property
     def n_pad(self) -> int:
@@ -231,7 +275,8 @@ class BandedMatrix:
     def plan(self) -> dict:
         K, n, tile, kh, npage, Wp = self.meta
         return dict(vals=self.vals, pidx=self.pidx, K=K, n=n,
-                    tile=tile, kh=kh, npage=npage, Wp=Wp)
+                    tile=tile, kh=kh, npage=npage, Wp=Wp,
+                    ranges=self.slot_ranges)
 
 
 def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
@@ -297,6 +342,19 @@ def banded_from_csr(a, dtype=np.float32, tile: int = 1024,
     )
 
 
+def _range_cost(ranges) -> int:
+    """Total kernel page-select work of a plan: sum of per-slot page-range
+    lengths (banded_plan ``ranges``)."""
+    return sum(hi - lo + 1 for lo, hi in ranges if lo <= hi)
+
+
+def _ranges_coherent(plan: dict, pages_per_slot: int = 4) -> bool:
+    """True when the plan's slots are page-coherent enough that a reorder
+    could not meaningfully shrink the select chain."""
+    r = plan.get("ranges")
+    return r is not None and _range_cost(r) <= pages_per_slot * plan["K"]
+
+
 def banded_from_ell(E: EllMatrix, tile: int = 1024,
                     reorder: bool = False) -> Optional[BandedMatrix]:
     """EllMatrix (already band-ordered, e.g. a level of an RCM-built
@@ -310,8 +368,21 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024,
     the irregular coarse-index compression inflates the inherited bandwidth
     past the caps at 128^3 scale; RCM recovers ~25-30%%, enough to re-enter
     the plan bounds, and two O(n) takes per apply beat the K*n gather-ELL
-    SpMV by ~2 orders at n~1e6)."""
-    from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError, banded_plan
+    SpMV by ~2 orders at n~1e6).  Either ordering may further fall back to
+    a near/far SPLIT plan (banded_plan_split): the capped window rides the
+    kernel and the few out-of-window entries (distance-2 plane couplings
+    of a natural-ordered coarse operator) apply as a compacted row-subset
+    gather/scatter block.  Fallback order: pure/split on the GIVEN
+    ordering first — the kernel's cost is the per-slot page-range sum
+    (banded_plan ``ranges``), and a column-sorted natural ordering keeps
+    each slot page-coherent (ranges of 1-3 pages) where RCM jitters slots
+    across the whole window — then RCM only when the given-order plan is
+    missing or range-incoherent (sum > 4K pages)."""
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        BandedPlanError,
+        banded_plan,
+        banded_plan_split,
+    )
 
     if E.n_rows_pad % tile != 0:
         return None
@@ -321,8 +392,21 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024,
     # identity pad rows keep the padded window SPD-consistent with the
     # hierarchy's identity padding (all-zero rows gather harmlessly anyway)
     try:
-        plan = banded_plan(cols, nnz, vals, tile=tile)
+        plan, far = banded_plan(cols, nnz, vals, tile=tile), None
     except BandedPlanError:
+        try:
+            plan, far = banded_plan_split(cols, nnz, vals, tile=tile)
+        except BandedPlanError:
+            plan = None
+    if (reorder and plan is not None and far is None
+            and not _ranges_coherent(plan)):
+        # full-window pure plan with jittered slots: an RCM re-banding can
+        # shrink the window (and thus the select chain) — compare
+        B = _banded_from_ell_rcm(E, tile)
+        if (B is not None and B.far is None and B.slot_ranges is not None
+                and _range_cost(B.slot_ranges) < _range_cost(plan["ranges"])):
+            return B
+    if plan is None:
         if not reorder:
             return None
         return _banded_from_ell_rcm(E, tile)
@@ -332,7 +416,8 @@ def banded_from_ell(E: EllMatrix, tile: int = 1024,
         perm=jnp.asarray(eye), iperm=jnp.asarray(eye),
         meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
               plan["npage"], plan["Wp"]),
-        shape=E.shape,
+        shape=E.shape, far=_far_from_dict(far),
+        slot_ranges=plan.get("ranges"),
     )
 
 
@@ -360,16 +445,22 @@ def _banded_from_ell_rcm(E: EllMatrix, tile: int) -> Optional[BandedMatrix]:
     # hold col 0 / value 0 — any in-range id is harmless
     cols = iperm_pad[np.asarray(E.cols)][:, perm_pad]
     try:
-        plan = banded_plan(cols, nnz, vals, tile=tile)
+        plan, far = banded_plan(cols, nnz, vals, tile=tile), None
     except BandedPlanError:
-        return None
+        from raptor_tpu.ops.pallas.banded_kernel import banded_plan_split
+
+        try:
+            plan, far = banded_plan_split(cols, nnz, vals, tile=tile)
+        except BandedPlanError:
+            return None
     return BandedMatrix(
         vals=plan["vals"], pidx=plan["pidx"],
         perm=jnp.asarray(perm_pad.astype(np.int32)),
         iperm=jnp.asarray(iperm_pad.astype(np.int32)),
         meta=(plan["K"], plan["n"], plan["tile"], plan["kh"],
               plan["npage"], plan["Wp"]),
-        shape=E.shape, reordered=True,
+        shape=E.shape, reordered=True, far=_far_from_dict(far),
+        slot_ranges=plan.get("ranges"),
     )
 
 
@@ -387,8 +478,10 @@ def banded_spmv_ro(B: BandedMatrix, xr: jax.Array,
     # force a compiled pallas_call on CPU)
     use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
-        return banded_spmv_pallas(B.plan(), xr, interpret=bool(interpret))
-    return banded_spmv_ref(B.plan(), xr)
+        y = banded_spmv_pallas(B.plan(), xr, interpret=bool(interpret))
+    else:
+        y = banded_spmv_ref(B.plan(), xr)
+    return far_spmv_add(y, B.far, xr)
 
 
 def banded_df64_residual(B: BandedMatrix, lo_blk, xh, bh, bl, v,
@@ -417,8 +510,8 @@ def banded_spmv(B: BandedMatrix, x: jax.Array) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["vals", "pidx"],
-    meta_fields=["meta", "shape"],
+    data_fields=["vals", "pidx", "far"],
+    meta_fields=["meta", "shape", "slot_ranges"],
 )
 @dataclasses.dataclass(frozen=True)
 class RectBanded:
@@ -428,11 +521,17 @@ class RectBanded:
     pidx: jax.Array  # packed page*1024 + idx, int32
     meta: Tuple[int, ...]  # (K, n, n_cols, tile, WpP, npage)
     shape: Tuple[int, int]
+    # near/far split (banded_plan_rect_split): out-of-window remainder —
+    # the distance-2 plane couplings of a natural-ordered restriction
+    far: Optional[FarBlock] = None
+    # static per-slot page ranges (banded_plan_rect `ranges`)
+    slot_ranges: Optional[Tuple] = None
 
     def plan(self) -> dict:
         K, n, n_cols, tile, WpP, npage = self.meta
         return dict(vals=self.vals, pidx=self.pidx, K=K, n=n,
-                    n_cols=n_cols, tile=tile, WpP=WpP, npage=npage)
+                    n_cols=n_cols, tile=tile, WpP=WpP, npage=npage,
+                    ranges=self.slot_ranges)
 
 
 def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
@@ -440,14 +539,15 @@ def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
     """Build the rectangular banded layout for a transfer operator whose
     column indices follow the grid-proportional band (RCM hierarchy).
     Returns None when shapes don't tile."""
-    from raptor_tpu.ops.pallas.banded_kernel import banded_plan_rect
-
-    from raptor_tpu.ops.pallas.banded_kernel import BandedPlanError
+    from raptor_tpu.ops.pallas.banded_kernel import (
+        BandedPlanError,
+        banded_plan_rect_split,
+    )
 
     if E.n_rows_pad % tile or n_cols_pad % 1024:
         return None
     try:
-        plan = banded_plan_rect(
+        plan, far = banded_plan_rect_split(
             np.asarray(E.cols), np.asarray(E.row_nnz), np.asarray(E.data),
             n_cols_pad=n_cols_pad, tile=tile,
         )
@@ -457,7 +557,8 @@ def rect_banded_from_ell(E: EllMatrix, n_cols_pad: int,
         vals=plan["vals"], pidx=plan["pidx"],
         meta=(plan["K"], plan["n"], plan["n_cols"], plan["tile"],
               plan["WpP"], plan["npage"]),
-        shape=E.shape,
+        shape=E.shape, far=_far_from_dict(far),
+        slot_ranges=plan.get("ranges"),
     )
 
 
@@ -471,6 +572,7 @@ def rect_banded_spmv(B: RectBanded, x: jax.Array,
 
     use_kernel = bool(interpret) or jax.default_backend() == "tpu"
     if use_kernel:
-        return banded_spmv_rect_pallas(B.plan(), x,
-                                       interpret=bool(interpret))
-    return banded_spmv_rect_ref(B.plan(), x)
+        y = banded_spmv_rect_pallas(B.plan(), x, interpret=bool(interpret))
+    else:
+        y = banded_spmv_rect_ref(B.plan(), x)
+    return far_spmv_add(y, B.far, x)

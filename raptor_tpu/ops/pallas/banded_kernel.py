@@ -113,6 +113,23 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     f = np.where(mask, cols + np.int32(Wp) - tbase[None, :], 0)
     v = np.where(mask, vals, 0)
 
+    # static per-slot page ranges: column-sorted rows (CSR slot order) give
+    # each slot a NARROW page interval — e.g. the plane groups of a
+    # natural-ordered 3D coarse operator — so the kernel's page-select
+    # chain shrinks from K*npage to sum_k |range_k| (measured 9x on the
+    # 128^3 algebraic L1, round 4).  Slots whose entries span the window
+    # (RCM-jittered data) degenerate to the full range — no loss.  Masked
+    # slots take their slot's lo page as a harmless in-range dummy.
+    pg = f >> 10  # f // PAGE
+    BIG = np.int32(1 << 20)
+    lo_k = np.where(mask, pg, BIG).min(axis=1)
+    hi_k = np.where(mask, pg, -1).max(axis=1)
+    empty = hi_k < 0
+    lo_k = np.where(empty, 1, lo_k)
+    hi_k = np.where(empty, 0, hi_k)  # (1, 0): statically skipped slot
+    f = np.where(mask, f, (np.where(empty, 0, lo_k) << 10)[:, None])
+    ranges = tuple((int(a), int(b)) for a, b in zip(lo_k, hi_k))
+
     T = n // tile
     R_rows = tile // LANE
 
@@ -124,8 +141,123 @@ def banded_plan(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     return dict(
         pidx=jnp.asarray(blk(f, np.int32)),
         vals=jnp.asarray(blk(v, vals.dtype)),
-        K=K, n=n, tile=tile, kh=kh, npage=npage, Wp=Wp,
+        K=K, n=n, tile=tile, kh=kh, npage=npage, Wp=Wp, ranges=ranges,
     )
+
+
+def _compact_far(cols: np.ndarray, vals: np.ndarray, far_mask: np.ndarray,
+                 pad_row: int, max_far_frac: float, max_far_k: int,
+                 what: str, nnz_total: int = 0):
+    """Compact the out-of-window entries of an ELL matrix into a dense
+    row-subset block: only rows that HAVE far entries are stored, front-
+    packed along a small K_far slot axis.  The apply gathers x at
+    K_far * m indices and scatter-adds m partial sums — at the measured
+    ~1-5%% far fractions this is ~20-100x less gather volume than the
+    full-K gather-ELL fallback the split replaces (round 4: the L0
+    restrict at 128^3 ran 143 ms as gather-ELL).
+
+    Returns dict(rows (m_pad,), cols (K_far, m_pad), vals, m) or raises
+    BandedPlanError when the far part is too heavy for the split to pay
+    (fraction > max_far_frac or K_far > max_far_k)."""
+    far_cnt = far_mask.sum(axis=0)
+    rows_f = np.nonzero(far_cnt)[0].astype(np.int32)
+    m = rows_f.size
+    if m == 0:
+        return None
+    K_far = int(far_cnt.max())
+    frac = float(far_mask.sum()) / float(max(nnz_total, 1))
+    if K_far > max_far_k or frac > max_far_frac:
+        raise BandedPlanError(
+            f"{what}: far remainder too heavy for a split plan "
+            f"(K_far={K_far}, frac={frac:.3f})")
+    m_pad = _round_up(m, LANE)
+    sel = far_mask[:, rows_f]
+    order = np.argsort(~sel, axis=0, kind="stable")  # far slots first
+    cc = np.take_along_axis(cols[:, rows_f], order, axis=0)[:K_far]
+    vv = np.take_along_axis(vals[:, rows_f], order, axis=0)[:K_far]
+    ss = np.take_along_axis(sel, order, axis=0)[:K_far]
+    fc = np.zeros((K_far, m_pad), np.int32)
+    fv = np.zeros((K_far, m_pad), vals.dtype)
+    fc[:, :m] = np.where(ss, cc, 0)
+    fv[:, :m] = np.where(ss, vv, 0)
+    rows_pad = np.full(m_pad, pad_row, np.int32)
+    rows_pad[:m] = rows_f
+    return dict(rows=rows_pad, cols=fc, vals=fv, m=m)
+
+
+def banded_plan_split(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
+                      tile: int = 1024, max_far_frac: float = 0.15,
+                      max_far_k: int = 16):
+    """``banded_plan`` with a near/far split: entries within the largest
+    cap-admissible window ride the paged-gather kernel; the few outside
+    (e.g. the distance-2 plane couplings of a natural-ordered 3D coarse
+    operator, ~1-5%% of nnz) become a compacted row-subset block
+    (``_compact_far``).  Returns (plan, far_or_None); raises
+    BandedPlanError when even the split cannot fit."""
+    K, n = cols.shape
+    rows = np.arange(n, dtype=np.int32)
+    cols = cols.astype(np.int32, copy=False)
+    mask = np.arange(K, dtype=np.int32)[:, None] < nnz[None, :]
+    delta = np.where(mask, cols - rows[None, :], 0)
+    W = int(np.abs(delta).max()) if mask.any() else 1
+    # largest page-aligned half-window the caps admit (npage binds for
+    # tile=1024: (tile + 2*Wp)//PAGE <= MAX_NPAGE)
+    w_cap = ((MAX_NPAGE * PAGE - tile) // 2 // PAGE) * PAGE
+    w_cap = min(w_cap, MAX_KH * tile)
+    if W <= w_cap:
+        return banded_plan(cols, nnz, vals, tile=tile), None
+    far_mask = mask & (np.abs(delta) > w_cap)
+    far = _compact_far(cols, vals, far_mask, n - 1, max_far_frac,
+                       max_far_k, "banded_plan_split",
+                       nnz_total=int(mask.sum()))
+    near_cols = np.where(far_mask, rows[None, :], cols)
+    near_vals = np.where(far_mask, 0, vals)
+    return banded_plan(near_cols, nnz, near_vals, tile=tile), far
+
+
+def banded_plan_rect_split(cols: np.ndarray, nnz: np.ndarray,
+                           vals: np.ndarray, n_cols_pad: int,
+                           tile: int = 1024, max_far_frac: float = 0.15,
+                           max_far_k: int = 16):
+    """``banded_plan_rect`` with a near/far split (see banded_plan_split).
+    The restriction operator of a natural-ordered 3D hierarchy is the
+    canonical client: its distance-2 fine-plane couplings put the full
+    window at ~2x the npage cap while carrying ~1-5%% of nnz."""
+    K, n = cols.shape
+    T = n // tile
+    rows = np.arange(n, dtype=np.int64)
+    cols64 = cols.astype(np.int64, copy=False)
+    t = rows // tile
+    mask = np.arange(K, dtype=np.int32)[:, None] < nnz[None, :]
+    center = ((t * n_cols_pad) // (T * PAGE)) * PAGE
+    delta = np.where(mask, cols64 - center[None, :], 0)
+    lo_d = int(delta.min()) if mask.any() else 0
+    hi_d = int(delta.max()) if mask.any() else 1
+    WpP = max(-(-(-lo_d) // PAGE), 0) if lo_d < 0 else 0
+    npage = max(WpP + -(-(hi_d + 1) // PAGE), 1)
+    if npage <= MAX_NPAGE:
+        return banded_plan_rect(cols, nnz, vals, n_cols_pad, tile=tile), None
+    d = delta[mask]
+    for q in (0.999, 0.995, 0.99, 0.98, 0.95, 0.9, 0.8):
+        lo_q = int(np.quantile(d, 1.0 - q))
+        hi_q = int(np.quantile(d, q))
+        WpP = max(-(-(-lo_q) // PAGE), 0) if lo_q < 0 else 0
+        npage = max(WpP + -(-(hi_q + 1) // PAGE), 1)
+        if npage <= MAX_NPAGE:
+            break
+    else:
+        raise BandedPlanError(
+            f"banded_plan_rect_split: no admissible window (npage={npage})")
+    lo_e, hi_e = -WpP * PAGE, (npage - WpP) * PAGE - 1
+    far_mask = mask & ((delta < lo_e) | (delta > hi_e))
+    far = _compact_far(cols.astype(np.int32), vals, far_mask, n - 1,
+                       max_far_frac, max_far_k, "banded_plan_rect_split",
+                       nnz_total=int(mask.sum()))
+    # in-window dummy target for the far slots: the tile's own center
+    near_cols = np.where(far_mask, center[None, :], cols64).astype(np.int32)
+    near_vals = np.where(far_mask, 0, vals)
+    return banded_plan_rect(near_cols, nnz, near_vals, n_cols_pad,
+                            tile=tile), far
 
 
 def _unpack_pidx(pi):
@@ -144,10 +276,11 @@ def _unpack_pidx(pi):
 
 
 @partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
-                                   "interpret", "vma"))
+                                   "interpret", "vma", "ranges"))
 def _banded_call(vals, pidx, x_pad, K: int, n: int, tile: int, kh: int,
                  npage: int, interpret: bool = False,
-                 vma: tuple | None = None):
+                 vma: tuple | None = None,
+                 ranges: tuple | None = None):
     R_rows = tile // LANE
     T = n // tile
     nref = 2 * kh + 1
@@ -165,21 +298,29 @@ def _banded_call(vals, pidx, x_pad, K: int, n: int, tile: int, kh: int,
         for r in range(R_rows):
             acc = None
             for k in range(K):
+                p_lo, p_hi = ranges[k] if ranges else (0, npage - 1)
+                if p_lo > p_hi:
+                    continue  # statically empty slot (padding-only)
                 pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
-                # two-stage gather per page + (1, LANE) select.  Measured
-                # alternatives that LOST: lane-gather-per-page with one
-                # final sublane gather (the widened (8,128) page selects
-                # cost more than the saved gathers, 0.70->0.80 ms), and
-                # per-(t,k,r) page ranges (RCM jitter spans the window)
+                # two-stage gather per page + (1, LANE) select, restricted
+                # to the slot's static page range (banded_plan's `ranges`:
+                # column-sorted slots of plane-structured operators span a
+                # few pages each, so the chain shrinks from K*npage to
+                # sum_k |range_k|).  Measured alternatives that LOST:
+                # lane-gather-per-page with one final sublane gather (the
+                # widened (8,128) page selects cost more than the saved
+                # gathers, 0.70->0.80 ms), and per-(t,k,r) ranges (RCM
+                # jitter spans the window)
                 val = jnp.zeros((1, LANE), x_pad.dtype)
-                for p in range(npage):
+                for p in range(p_lo, p_hi + 1):
                     wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]  # (8, 128)
                     g1 = jnp.take_along_axis(wp, ln, axis=1)
                     g2 = jnp.take_along_axis(g1, sub, axis=0)
                     val = jnp.where(pg == p, g2[0:1, :], val)
                 term = d_ref[0, k, r:r + 1, :] * val
                 acc = term if acc is None else acc + term
-            o_ref[r:r + 1, :] = acc
+            o_ref[r:r + 1, :] = acc if acc is not None else jnp.zeros(
+                (1, LANE), x_pad.dtype)
 
     x_specs = [
         pl.BlockSpec((R_rows, LANE), (lambda t, i=i: (t + i, 0)),
@@ -212,7 +353,8 @@ def banded_spmv_pallas(plan: dict, x, interpret: bool = False):
                              jnp.zeros(pad, x.dtype)])
     return _banded_call(plan["vals"], plan["pidx"], x_pad,
                         K=plan["K"], n=plan["n"], tile=tile, kh=kh,
-                        npage=plan["npage"], interpret=interpret)
+                        npage=plan["npage"], interpret=interpret,
+                        ranges=plan.get("ranges"))
 
 
 def banded_spmv_ref(plan: dict, x):
@@ -259,10 +401,11 @@ def banded_ref_padded(plan: dict, x_pad):
 
 
 @partial(jax.jit, static_argnames=("K", "n", "tile", "kh", "npage",
-                                   "interpret"))
+                                   "interpret", "ranges"))
 def _banded_df64_resid_call(vals, vals_lo, pidx, x_pad, bh, bl, v,
                             K: int, n: int, tile: int, kh: int, npage: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            ranges: tuple | None = None):
     from raptor_tpu.utils.df64 import df_add, two_prod
 
     R_rows = tile // LANE
@@ -290,9 +433,12 @@ def _banded_df64_resid_call(vals, vals_lo, pidx, x_pad, bh, bl, v,
             sh, se = df_add(bh_ref[r:r + 1, :], bl_ref[r:r + 1, :],
                             -vv, jnp.zeros_like(vv))
             for k in range(K):
+                p_lo, p_hi = ranges[k] if ranges else (0, npage - 1)
+                if p_lo > p_hi:
+                    continue  # statically empty slot
                 pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
                 gh = jnp.zeros((1, LANE), x_pad.dtype)
-                for p in range(npage):
+                for p in range(p_lo, p_hi + 1):
                     wp = win[(p0 + p) * SUB: (p0 + p + 1) * SUB]
                     g1 = jnp.take_along_axis(wp, ln, axis=1)
                     g2 = jnp.take_along_axis(g1, sub, axis=0)
@@ -422,6 +568,19 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
     assert (f[mask] >= 0).all() and (f[mask] < npage * PAGE).all()
     v = np.where(mask, vals, 0)
 
+    # static per-slot page ranges (see banded_plan): transfer slots of a
+    # natural-ordered hierarchy are column-sorted, so each slot covers a
+    # narrow page interval of the window
+    pg = f >> 10
+    BIG = np.int32(1 << 20)
+    lo_k = np.where(mask, pg, BIG).min(axis=1)
+    hi_k = np.where(mask, pg, -1).max(axis=1)
+    empty = hi_k < 0
+    lo_k = np.where(empty, 1, lo_k)
+    hi_k = np.where(empty, 0, hi_k)
+    f = np.where(mask, f, (np.where(empty, 0, lo_k) << 10)[:, None])
+    ranges = tuple((int(a), int(b)) for a, b in zip(lo_k, hi_k))
+
     R_rows = tile // LANE
 
     def blk(a, dtype):
@@ -433,15 +592,18 @@ def banded_plan_rect(cols: np.ndarray, nnz: np.ndarray, vals: np.ndarray,
         pidx=jnp.asarray(blk(f, np.int32)),
         vals=jnp.asarray(blk(v, vals.dtype)),
         K=K, n=n, n_cols=n_cols_pad, tile=tile, WpP=WpP, npage=npage,
+        ranges=ranges,
     )
 
 
 @partial(jax.jit, static_argnames=("K", "n", "n_cols", "tile", "WpP",
-                                   "npage", "interpret", "map_cols", "vma"))
+                                   "npage", "interpret", "map_cols", "vma",
+                                   "ranges"))
 def _banded_call_rect(vals, pidx, x, K: int, n: int, n_cols: int,
                       tile: int, WpP: int, npage: int,
                       interpret: bool = False, map_cols: int | None = None,
-                      vma: tuple | None = None):
+                      vma: tuple | None = None,
+                      ranges: tuple | None = None):
     """``map_cols`` (default n_cols): numerator of the window index map —
     the distributed wrapper passes the LOCAL plan ratio while ``x`` is the
     halo-extended local buffer (parallel.dist.dist_rect_banded_spmv), with
@@ -457,16 +619,20 @@ def _banded_call_rect(vals, pidx, x, K: int, n: int, n_cols: int,
         for r in range(R_rows):
             acc = None
             for k in range(K):
+                p_lo, p_hi = ranges[k] if ranges else (0, npage - 1)
+                if p_lo > p_hi:
+                    continue  # statically empty slot
                 pg, sub, ln = _unpack_pidx(pi_ref[0, k, r:r + 1, :])
                 val = jnp.zeros((1, LANE), x.dtype)
-                for p in range(npage):
+                for p in range(p_lo, p_hi + 1):
                     wp = x_refs[p][:]
                     g1 = jnp.take_along_axis(wp, ln, axis=1)
                     g2 = jnp.take_along_axis(g1, sub, axis=0)
                     val = jnp.where(pg == p, g2[0:1, :], val)
                 term = d_ref[0, k, r:r + 1, :] * val
                 acc = term if acc is None else acc + term
-            o_ref[r:r + 1, :] = acc
+            o_ref[r:r + 1, :] = acc if acc is not None else jnp.zeros(
+                (1, LANE), x.dtype)
 
     # window page p of tile t = clamp((t*tile_c)//PAGE - WpP + p); the
     # division is done in the index map (traced integer arithmetic)
@@ -521,7 +687,8 @@ def banded_spmv_rect_pallas(plan: dict, x, interpret: bool = False):
                              K=plan["K"], n=plan["n"],
                              n_cols=plan["n_cols"], tile=plan["tile"],
                              WpP=plan["WpP"], npage=plan["npage"],
-                             interpret=interpret)
+                             interpret=interpret,
+                             ranges=plan.get("ranges"))
 
 
 def banded_spmv_rect_ref(plan: dict, x):

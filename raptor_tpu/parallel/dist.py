@@ -133,10 +133,15 @@ def _band_spec(B):
     # vals/pidx are (T, K, R_rows, 128): shard whole kernel tiles; the
     # (n_pad,) perms are unused inside the dist apply (the hierarchy lives
     # in one global RCM ordering) but shard consistently
+    # far: the dist plans are built per-shard without a near/far split;
+    # mirror whatever the container carries so the spec prefix matches
+    far_spec = None if B.far is None else dataclasses.replace(
+        B.far, rows=P(None), cols=P(None, None), vals=P(None, None))
     return BandedMatrix(
         vals=P(AXIS, None, None, None), pidx=P(AXIS, None, None, None),
         perm=P(AXIS), iperm=P(AXIS),
-        meta=B.meta, shape=B.shape,
+        meta=B.meta, shape=B.shape, reordered=B.reordered,
+        far=far_spec, slot_ranges=B.slot_ranges,
     )
 
 
@@ -145,9 +150,12 @@ def _rect_spec(B):
         return None
     from raptor_tpu.core.hybrid import RectBanded
 
+    far_spec = None if B.far is None else dataclasses.replace(
+        B.far, rows=P(None), cols=P(None, None), vals=P(None, None))
     return RectBanded(
         vals=P(AXIS, None, None, None), pidx=P(AXIS, None, None, None),
-        meta=B.meta, shape=B.shape,
+        meta=B.meta, shape=B.shape, far=far_spec,
+        slot_ranges=B.slot_ranges,
     )
 
 
@@ -254,7 +262,9 @@ def _shardable_band(B, ndev: int):
     mesh: each shard must own whole (T // ndev) kernel tiles and the
     kh-tile halo must fit inside one neighbor shard.  Page/idx metadata are
     tile-relative, so slicing the leading T axis IS the per-shard plan."""
-    if B is None:
+    if B is None or B.far is not None:
+        # a near/far-split layout cannot shard by tiles (the far block's
+        # rows/cols cross shard boundaries); stay on the DistMatrix path
         return None
     K, n, tile, kh, npage, Wp = B.meta
     T = n // tile
@@ -268,8 +278,8 @@ def _shardable_rect(B, ndev: int, n_rows_pad: int, n_cols_pad: int):
     column space split evenly over the mesh and the proportional window's
     page halos fit inside one neighbor block.  Requires the plan's spaces
     to coincide exactly with the sharded vectors' padded sizes."""
-    if B is None:
-        return None
+    if B is None or B.far is not None:
+        return None  # see _shardable_band: split layouts stay unsharded
     from raptor_tpu.ops.pallas.banded_kernel import PAGE
 
     K, n, n_cols, tile, WpP, npage = B.meta
@@ -327,7 +337,8 @@ def dist_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
     if use_kernel:
         return _banded_call(B.vals, B.pidx, x_pad, K=K, n=n_loc,
                             tile=tile, kh=kh, npage=npage,
-                            interpret=bool(interpret), vma=(axis,))
+                            interpret=bool(interpret), vma=(axis,),
+                            ranges=B.slot_ranges)
     plan = dict(vals=B.vals, pidx=B.pidx, K=K, n=n_loc,
                 tile=tile, kh=kh, npage=npage, Wp=Wp)
     return banded_ref_padded(plan, x_pad)
@@ -392,7 +403,8 @@ def dist_rect_banded_spmv(B, x_own: jax.Array, axis: str = AXIS,
         return _banded_call_rect(
             B.vals, B.pidx, x_buf, K=K, n=n_loc,
             n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage,
-            interpret=bool(interpret), map_cols=cols_loc, vma=(axis,))
+            interpret=bool(interpret), map_cols=cols_loc, vma=(axis,),
+            ranges=B.slot_ranges)
     plan = dict(vals=B.vals, pidx=B.pidx, K=K, n=n_loc,
                 n_cols=x_buf.shape[0], tile=tile, WpP=0, npage=npage)
     return banded_rect_ref_buf(plan, x_buf, map_cols=cols_loc)

@@ -50,6 +50,20 @@ from raptor_tpu.solve.smoothers import estimate_lmax, greedy_coloring_host
 __all__ = ["Level", "Hierarchy", "build_hierarchy", "hierarchy_stats",
            "cast_hierarchy_algebraic"]
 
+def _setup_tick(label: str, t0: float) -> float:
+    """RAPTOR_SETUP_TIMING=1: print per-phase setup wall times to stderr
+    (observability for the tunnel-dominated setup path — round 4 spent a
+    session attributing a 165 s warm setup by hand)."""
+    import os
+    import sys
+    import time
+
+    t1 = time.perf_counter()
+    if os.environ.get("RAPTOR_SETUP_TIMING"):
+        print(f"[setup] {label}: {t1 - t0:7.2f}s", file=sys.stderr,
+              flush=True)
+    return t1
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -394,8 +408,11 @@ def cast_hierarchy_algebraic(hier: Hierarchy, dtype) -> Hierarchy:
             E, data=E.data.astype(dt))
 
     def cast_band(B):
-        return None if B is None else dataclasses.replace(
-            B, vals=B.vals.astype(dt))
+        if B is None:
+            return None
+        far = (None if B.far is None else
+               dataclasses.replace(B.far, vals=B.far.vals.astype(dt)))
+        return dataclasses.replace(B, vals=B.vals.astype(dt), far=far)
 
     def cast_hyb(H):
         return None if H is None else dataclasses.replace(
@@ -463,16 +480,27 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         ):
             from raptor_tpu.setup.host_setup import host_build_tail
 
+            import time as _time
+
+            _t0 = _time.perf_counter()
             hier = host_build_tail(A, levels, config, dtype, row_ids=ids)
+            _t0 = _setup_tick(f"host tail (n={n})", _t0)
             if A_in is not None:
                 hier = attach_residual_lo(hier, A_in)
-            return stage_hierarchy(hier) if stage else hier
+                _t0 = _setup_tick("attach_residual_lo", _t0)
+            out = stage_hierarchy(hier) if stage else hier
+            _setup_tick("stage", _t0)
+            return out
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             perm = (make_perm_ids(ids, A.n_rows_pad,
                                   config.seed + len(levels))
                     if ids is not None else None)
             P, R, Ac, nc, dinv, lmax, cf = _fused_level(
                 A, n, config, config.seed + len(levels), perm=perm)
+            _setup_tick(f"fused level {len(levels)} (n={n}, K={A.K})", _t0)
             if nc == 0 or nc >= n:
                 break
             if ids is not None:

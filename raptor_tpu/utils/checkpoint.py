@@ -56,13 +56,14 @@ def _allowed_globals() -> set[tuple[str, str]]:
     from raptor_tpu.config import AmgConfig, SolveConfig
     from raptor_tpu.core.bell import BlockEllMatrix
     from raptor_tpu.core.ell import EllMatrix
-    from raptor_tpu.core.hybrid import BandedMatrix, HybridMatrix, RectBanded
+    from raptor_tpu.core.hybrid import (
+        BandedMatrix, FarBlock, HybridMatrix, RectBanded)
     from raptor_tpu.parallel.partition import DistMatrix, HaloPlan
     from raptor_tpu.setup.hierarchy import Hierarchy, Level
     from raptor_tpu.solve.krylov import KrylovInfo
 
     for cls in (AmgConfig, SolveConfig, BlockEllMatrix, EllMatrix,
-                BandedMatrix, HybridMatrix, RectBanded, DistMatrix,
+                BandedMatrix, FarBlock, HybridMatrix, RectBanded, DistMatrix,
                 HaloPlan, Hierarchy, Level, KrylovInfo):
         allowed.add((cls.__module__, cls.__qualname__))
     return allowed

@@ -171,3 +171,81 @@ def test_cycle_applies_reordered_banded_level():
 
     assert np.allclose(np.asarray(apply_op(lev, x)),
                        np.asarray(spmv(E, x)), rtol=1e-12, atol=1e-12)
+
+
+def _ell_np(data, cols, nnz, shape, n_cols_pad=None):
+    from raptor_tpu.core.ell import EllMatrix
+
+    return EllMatrix(data=data, cols=cols.astype(np.int32),
+                     row_nnz=nnz.astype(np.int32), shape=shape,
+                     n_rows_pad=data.shape[1],
+                     n_cols_pad=n_cols_pad or data.shape[1])
+
+
+def test_banded_split_far_remainder():
+    """banded_plan_split (ops/pallas/banded_kernel): a band with sparse
+    long-range outliers past the window cap splits into a kernel plan plus
+    a compacted FarBlock, and the apply is exact — the 128^3 natural-order
+    coarse-operator case (distance-2 plane couplings)."""
+    from raptor_tpu.core.hybrid import banded_from_ell, banded_spmv_ro
+
+    rng = np.random.default_rng(4)
+    n = 65536
+    K = 5
+    rows = np.arange(n)
+    cols = np.stack([np.clip(rows + d, 0, n - 1) for d in (-2000, -1, 0, 1)]
+                    + [np.clip(rows + 30000, 0, n - 1)])
+    data = rng.standard_normal((K, n))
+    # outlier slot only on ~1% of rows (else: not splittable, K_far guard);
+    # keep outliers away from the clip boundary so every one of them is
+    # genuinely outside the window cap
+    far_rows = (rng.random(n) < 0.01) & (rows < 30000)
+    nnz = np.where(far_rows, K, K - 1).astype(np.int32)
+    # slot order is front-packed by nnz: move the outlier into slot K-1 and
+    # zero it where absent
+    data[K - 1, ~far_rows] = 0.0
+    E = _ell_np(data, cols, nnz, (n, n))
+    B = banded_from_ell(E, reorder=False)
+    assert B is not None and B.far is not None, "expected a split plan"
+    K_far, m = B.far.meta
+    assert K_far == 1 and m == int(far_rows.sum())
+    x = rng.standard_normal(n)
+    y = np.asarray(banded_spmv_ro(B, jnp.asarray(x)))
+    import scipy.sparse as sp
+
+    mask = np.arange(K)[:, None] < nnz[None, :]
+    A = sp.coo_matrix((data[mask], (np.broadcast_to(rows, (K, n))[mask],
+                                    cols[mask])), shape=(n, n)).tocsr()
+    assert np.allclose(y, A @ x, rtol=1e-12, atol=1e-10)
+
+
+def test_rect_banded_split_far_remainder():
+    """banded_plan_rect_split: a transfer operator whose distance-2
+    couplings put the window past the npage cap still attaches, with the
+    outliers in the FarBlock — the 128^3 L0 restriction case (round 4:
+    143 ms as gather-ELL, the dominant V-cycle cost)."""
+    from raptor_tpu.core.hybrid import rect_banded_from_ell
+    from raptor_tpu.solve.cycle import apply_transfer
+
+    rng = np.random.default_rng(5)
+    n, nc = 65536, 65536
+    K = 3
+    rows = np.arange(n)
+    cols = np.stack([np.clip(rows - 300, 0, nc - 1),
+                     np.clip(rows + 300, 0, nc - 1),
+                     np.clip(rows + 52000, 0, nc - 1)])
+    data = rng.standard_normal((K, n))
+    far_rows = rng.random(n) < 0.02
+    nnz = np.where(far_rows, K, K - 1).astype(np.int32)
+    data[K - 1, ~far_rows] = 0.0
+    E = _ell_np(data, cols, nnz, (n, nc), n_cols_pad=nc)
+    R = rect_banded_from_ell(E, nc)
+    assert R is not None and R.far is not None, "expected a split plan"
+    x = rng.standard_normal(nc)
+    y = np.asarray(apply_transfer(R, None, jnp.asarray(x)))
+    import scipy.sparse as sp
+
+    mask = np.arange(K)[:, None] < nnz[None, :]
+    A = sp.coo_matrix((data[mask], (np.broadcast_to(rows, (K, n))[mask],
+                                    cols[mask])), shape=(n, nc)).tocsr()
+    assert np.allclose(y[:n], A @ x, rtol=1e-12, atol=1e-10)
