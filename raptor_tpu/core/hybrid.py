@@ -349,8 +349,13 @@ def _range_cost(ranges) -> int:
 
 
 def _ranges_coherent(plan: dict, pages_per_slot: int = 4) -> bool:
-    """True when the plan's slots are page-coherent enough that a reorder
-    could not meaningfully shrink the select chain."""
+    """True when a reorder could not meaningfully shrink the select chain:
+    either the slots are page-coherent (narrow per-slot ranges) or the
+    whole window is already narrow (an RCM-ordered hierarchy level, npage
+    ~7 at 48^3 — re-RCM would buy pages-per-slot parity at the cost of a
+    full host RCM pass per level)."""
+    if plan["npage"] <= 16:
+        return True
     r = plan.get("ranges")
     return r is not None and _range_cost(r) <= pages_per_slot * plan["K"]
 

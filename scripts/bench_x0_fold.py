@@ -59,16 +59,16 @@ def _smooth_nofold(lev, cfg, b, x, backward, x0_zero=False):
 
 
 def timeit():
-    fn = jax.jit(lambda v: S.scycle(hM, v, cfg).astype(jnp.float32))
-    out = fn(b)
-    jax.block_until_ready(out)
-    loop = jax.jit(lambda v: jax.lax.fori_loop(
-        0, N, lambda i, x: S.scycle(hM, x.astype(b.dtype), cfg).astype(
+    # the hierarchy rides as a jit ARGUMENT: closing over it embeds its
+    # arrays as HLO constants and the axon remote-compile endpoint rejects
+    # the POST at 256^3 (HTTP 413)
+    loop = jax.jit(lambda hh, v: jax.lax.fori_loop(
+        0, N, lambda i, x: S.scycle(hh, x.astype(b.dtype), cfg).astype(
             jnp.float32), v))
-    out = loop(b)
+    out = loop(hM, b)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = loop(b)
+    out = loop(hM, b)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / N
 
