@@ -251,8 +251,11 @@ def algebraic_128_detail() -> dict:
 
     A = poisson_3d(128)
     n = A.shape[0]
+    # cheb_degree=3: measured best time-to-solution at this scale (round 4
+    # sweep on hardware: deg2 23 iters / 5.21 s warm, deg3 17 / 4.62 s,
+    # deg4 16 / 4.95 s — scripts/sweep_alg128_smoother.py)
     cfg = AmgConfig(splitting="pmis", interp="extended", fine_layout="banded",
-                    smoother="cheb4", cheb_degree=2,
+                    smoother="cheb4", cheb_degree=3,
                     operator_store_dtype="bfloat16")
 
     def _build():
@@ -449,7 +452,12 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0, help="grid points per dim")
-    ap.add_argument("--cycles", type=int, default=20)
+    # 100 cycles/dispatch: the timed region holds 3 dispatches + 1 scalar
+    # fetch, each a tunnel round trip (~30-100 ms) — at 20 cycles that
+    # overhead inflated the 128^3 V-cycle ~2.03 ms vs 1.27 ms measured at
+    # reps=200 (round 4, scripts/bench_x0_fold.py); 300 total cycles cuts
+    # the per-cycle contamination ~5x while keeping the block < 10 s
+    ap.add_argument("--cycles", type=int, default=100)
     # 2048: measured identical V-cycle time and iteration count vs 512 at
     # 256^3, but two fewer levels => ~80 s less cold setup compile
     ap.add_argument("--coarse-size", type=int, default=2048)

@@ -65,11 +65,12 @@ def timeit():
     loop = jax.jit(lambda hh, v: jax.lax.fori_loop(
         0, N, lambda i, x: S.scycle(hh, x.astype(b.dtype), cfg).astype(
             jnp.float32), v))
+    ssum = jax.jit(jnp.sum)
     out = loop(hM, b)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = loop(hM, b)
-    jax.block_until_ready(out)
+    _ = float(ssum(out))  # scalar fetch: block_until_ready on a remote
+    t0 = time.perf_counter()  # buffer returned early at 256^3 (bench.py
+    out = loop(hM, b)  # forces completion the same way)
+    _ = float(ssum(out))
     return (time.perf_counter() - t0) / N
 
 
