@@ -440,12 +440,16 @@ def acceptance_configs_detail(on_tpu: bool) -> dict:
 
 
 def main():
-    # global wall-clock budget: the driver kills the whole bench at ~45 min
-    # and a killed bench loses the headline line (VERDICT r3 weak #5).  Every
-    # detail subprocess below fits itself into what remains and is skipped
-    # (with a visible marker) rather than risking the final JSON line.
+    # global wall-clock budget (VERDICT r4 next #1): the driver's observed
+    # kill window is < 2280 s (BENCH_r04 rc=124 with the old budget unspent
+    # by its own accounting), so assume <= 1500 s and keep a finish margin.
+    # Every detail phase below fits itself into what remains and is skipped
+    # (with a visible marker) rather than risking the final JSON line — and
+    # the compact headline is printed IMMEDIATELY after the 128^3 block +
+    # CPU baseline, before any subprocess, so a kill can no longer lose the
+    # round's machine-readable metric.
     t_bench_start = time.perf_counter()
-    budget_s = float(os.environ.get("RAPTOR_BENCH_BUDGET_S", "2280"))
+    budget_s = float(os.environ.get("RAPTOR_BENCH_BUDGET_S", "1400"))
 
     def _remaining() -> float:
         return budget_s - (time.perf_counter() - t_bench_start)
@@ -677,54 +681,204 @@ def main():
     # chip's program space (observed as INVALID_ARGUMENT at 256^3 otherwise)
     jax.clear_caches()
 
-    # secondary size: config 5 names 256^3 (BASELINE.json:11) — report the
-    # large-scale per-DOF rate alongside the headline so regressions at
-    # scale are driver-visible
+    # ---- CPU-core-equivalent baseline, IMMEDIATELY after the headline
+    # block (VERDICT r4 next #1): the compact line must be printable before
+    # any detail subprocess runs ----
+    cpu_size = size
+    bc = default_rhs(cpu_size**3, dtype=np.float64)
+    cpu_cycle_s = scipy_vcycle_time(levels_csr, bc)
+    cpu_dofs = cpu_size**3 / cpu_cycle_s
+    log(f"CPU-core baseline ({cpu_size}^3): {cpu_cycle_s*1e3:.2f} ms/cycle "
+        f"-> {cpu_dofs/1e6:.1f} MDOF/s")
+    vs_baseline = dofs_per_s / (10.0 * cpu_dofs)
+
+    # mutable detail state: every emit() snapshots it; phases fill it in
     extra = {}
-    if on_tpu and not args.no_extra_sizes and size == 128:
+    configs_detail: dict = {}
+    alg128_detail: dict = {}
+    devsetup_detail: dict = {}
+    alg_detail: dict = {}
+
+    def _cfg_compact(d):
+        if "error" in d:  # the whole configs phase failed or was skipped
+            return str(d["error"])[:80]
+        return {k: ([v.get("n"), v.get("iterations"), v.get("true_relres")]
+                    if isinstance(v, dict) and "error" not in v else "ERR")
+                for k, v in d.items()}
+
+    def emit():
+        """Write BENCH_DETAIL.json and print the compact headline line.
+
+        Called right after the headline block (so a driver kill can never
+        again lose the round's metric — BENCH_r04 rc=124/parsed=null) and
+        re-called at the very end so the enriched line is last-on-stdout in
+        a completed run.  Every printed line is a complete <1800-char JSON
+        object; the driver's 2000-char stdout tail keeps the last one."""
+        full_detail = {
+            "problem": f"3D Poisson {size}^3 AMG-PCG (structured DIA engine)",
+            "op_dtype": "bfloat16 operators / fp32 vectors",
+            "vcycle_ms": vcycle_s * 1e3,
+            "vcycle_fp32_ms": m.get("vcycle_fp32_s", -1) * 1e3,
+            "setup_s": setup_s,
+            "setup_cold_s": setup_cold_s,
+            "solve_to_1e-8_s": solve_s,
+            "pcg_iterations": iters_total,
+            "final_relres": final_relres,
+            "cpu_core_dof_per_s": cpu_dofs,
+            "device": str(dev),
+            "kernel_check": kcheck,
+            "configs": configs_detail,
+            "algebraic": alg_detail,
+            "alg128": alg128_detail,
+            "device_setup": devsetup_detail,
+            **extra,
+        }
         try:
-            # fresh process: the axon TPU backend errors (InvalidArgument)
-            # when the 256^3 solve programs load after a full 128^3 session
-            # in the same process, regardless of jax.clear_caches()
-            import subprocess
-            import sys as _sys
+            import pathlib
 
-            # full measurement including solve-to-tolerance: the spec metric
-            # is "setup & solve time to 1e-8" and config 5 names 256^3
-            # (VERDICT r2 missing #2 — no more --no-solve '-1' fields)
-            def _run256(extra_args, timeout_s):
-                p = subprocess.run(
-                    [_sys.executable, __file__, "--size", "256",
-                     "--measure-only", "--tol", str(args.tol),
-                     "--coarse-size", str(args.coarse_size), *extra_args],
-                    capture_output=True, text=True, timeout=timeout_s,
-                )
-                if p.returncode != 0:
-                    raise RuntimeError(
-                        f"rc={p.returncode}: {p.stderr.strip()[-400:]}")
-                for ln in p.stderr.splitlines():
-                    if ln.startswith("["):
-                        log(f"  {ln}")
-                return json.loads(p.stdout.strip().splitlines()[-1])
+            pathlib.Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+                json.dumps({"metric": "vcycle_dof_per_s_per_chip",
+                            "value": dofs_per_s, "unit": "DOF/s",
+                            "vs_baseline": vs_baseline,
+                            "detail": full_detail}, indent=1))
+        except OSError as e:
+            log(f"BENCH_DETAIL.json write failed: {e}")
+        c256 = extra.get("256", {})
+        compact = {
+            "metric": "vcycle_dof_per_s_per_chip",
+            "value": dofs_per_s,
+            "unit": "DOF/s",
+            "vs_baseline": vs_baseline,
+            "detail": _sig({
+                "problem": f"3D Poisson {size}^3 AMG-PCG, structured engine, "
+                           "bf16 ops/fp32 vectors",
+                "vcycle_ms": vcycle_s * 1e3,
+                "fp32_vcycle_ms": m.get("vcycle_fp32_s", -1) * 1e3,
+                "setup_s": setup_s, "setup_cold_s": setup_cold_s,
+                "solve_s": solve_s, "iters": iters_total,
+                "relres": final_relres,
+                "cpu_mdof_s": cpu_dofs / 1e6,
+                "kcheck": ("pass" if kcheck.get("ran") else "skip"),
+                "c256": ({k: c256.get(k) for k in
+                          ("vcycle_ms", "dof_per_s", "per_dof_vs_headline",
+                           "solve_to_tol_s", "pcg_iterations")}
+                         if c256 and "error" not in c256
+                         else c256.get("error", "skip")),
+                "alg128": ({k: alg128_detail.get(k) for k in
+                            ("vcycle_ms", "setup_warm_s",
+                             "setup_cold_s", "solve_warm_s", "iterations")}
+                           if alg128_detail and "error" not in alg128_detail
+                           else alg128_detail.get("error", "skip")),
+                "dev_setup": ({k: devsetup_detail.get(k) for k in
+                               ("n", "setup_warm_s", "setup_rows_per_s",
+                                "iterations_dev", "iterations_host")}
+                              if devsetup_detail
+                              and "error" not in devsetup_detail
+                              else devsetup_detail.get("error", "skip")),
+                "alg48": ({"setup_warm_s": alg_detail.get("setup_warm_s"),
+                           "solve_dev_ms":
+                               (alg_detail.get("banded_solve_warm_device_s",
+                                               -1) or -1) * 1e3,
+                           "iters": alg_detail.get("iterations")}
+                          if alg_detail and "error" not in alg_detail
+                          else alg_detail.get("error", "skip")),
+                "cfg": _cfg_compact(configs_detail),
+                "detail_file": "BENCH_DETAIL.json",
+            }),
+        }
+        line = json.dumps(compact)
+        if len(line) >= 1800:  # hard fence: never hand the driver a long line
+            log(f"WARNING: compact line {len(line)} chars >= 1800; pruning")
+            compact["detail"].pop("cfg", None)
+            line = json.dumps(compact)
+        if len(line) >= 1800:
+            compact["detail"] = {"pruned": True}
+            line = json.dumps(compact)
+        print(line, flush=True)
 
-            try:
-                # cold 256^3 refined-solve compile alone runs tens of minutes
-                # through the remote-TPU tunnel (warm .jax_cache_tpu: a few
-                # minutes) — fit it into the global budget, leaving at least
-                # ~17 min for the algebraic-engine detail rows below
-                m2 = _run256([], min(2700, max(300, _remaining() - 1000)))
-            except Exception as e1:
-                # degrade instead of erroring the whole 256^3 block: the
-                # first attempt populated the compile cache for the setup
-                # and V-cycle programs, so a --no-solve retry is cheap and
-                # still yields the throughput/setup numbers
-                log(f"[256^3] full measure failed ({type(e1).__name__}: "
-                    f"{e1}); retrying --no-solve")
-                m2 = _run256(["--no-solve"],
-                             min(1500, max(300, _remaining() - 700)))
-                m2["solve_note"] = (f"solve measurement failed "
-                                    f"({type(e1).__name__}); -1 fields are "
-                                    f"the --no-solve fallback")
+    # headline is now safe: print it before anything else can fail or stall
+    emit()
+
+    # if the driver's kill signal lands mid-phase anyway, flush the current
+    # state as the last stdout line before dying (SIGTERM precedes SIGKILL
+    # under `timeout`; best-effort — the early emit above already banked
+    # the headline)
+    import signal
+
+    def _flush_and_exit(signum, frame):
+        log(f"signal {signum}: emitting current state and exiting")
+        try:
+            emit()
+        finally:
+            os._exit(0)
+
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+
+    # detail phases run in FRESH subprocesses: the remote (axon) TPU backend
+    # returns INVALID_ARGUMENT once too many programs accumulate in one
+    # process, and a detail row must never cost the headline JSON.
+    # min_s is the measured cold cost of the phase through the tunnel — a
+    # phase is launched ONLY with a timeout it could actually survive
+    # (BENCH_r04 burned 600 s on two doomed 300 s 256^3 attempts).
+    def _sub_json(cli_args: list, label: str, min_s: float,
+                  max_s: float) -> dict:
+        import subprocess
+        import sys as _sys
+
+        # reserve 45 s for the final emission; a skipped row is
+        # driver-visible, a killed bench is not
+        timeout_s = min(max_s, _remaining() - 45)
+        if timeout_s < min_s:
+            log(f"[{label}] SKIPPED: {_remaining():.0f}s left < "
+                f"{min_s:.0f}s cold cost")
+            return {"error": f"skipped: {_remaining():.0f}s budget left, "
+                             f"needs >={min_s:.0f}s"}
+        try:
+            p = subprocess.run(
+                [_sys.executable, __file__, *cli_args], capture_output=True,
+                text=True, timeout=timeout_s)
+            if p.returncode != 0:
+                raise RuntimeError(f"rc={p.returncode}: "
+                                   f"{p.stderr.strip()[-400:]}")
+            for ln in p.stderr.splitlines():
+                if ln.startswith("["):
+                    log(f"  {ln}")
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            log(f"[{label}] FAILED: {type(e).__name__}: {e}")
+            return {"error": f"{type(e).__name__}: {e}"}
+
+    # priority order under the budget (VERDICT r4 next #2): the five
+    # acceptance-config rows are judge-checked every round and run FIRST;
+    # then the algebraic-128^3 row, then 256^3, then the stable rows
+    if not args.no_configs:
+        configs_detail.update(
+            _sub_json(["--configs-only"], "configs", min_s=240, max_s=700))
+        emit()
+    if on_tpu and not args.no_configs:
+        alg128_detail.update(
+            _sub_json(["--alg128-only"], "alg128", min_s=300, max_s=900))
+        emit()
+
+    # secondary size: config 5 names 256^3 (BASELINE.json:11).  The full
+    # measure (setup + cycles + refined solve) costs ~300 s with a warm
+    # compile cache but tens of minutes fully cold — run it only with a
+    # timeout that covers the warm cost, degrade to --no-solve (setup +
+    # V-cycle only) when the window is tighter, and skip visibly otherwise
+    if on_tpu and not args.no_extra_sizes and size == 128:
+        base256 = ["--size", "256", "--measure-only", "--tol",
+                   str(args.tol), "--coarse-size", str(args.coarse_size)]
+        rem = _remaining() - 45
+        if rem >= 420:
+            m2 = _sub_json(base256, "256^3 full", min_s=420, max_s=1200)
+        elif rem >= 240:
+            m2 = _sub_json(base256 + ["--no-solve"], "256^3 no-solve",
+                           min_s=240, max_s=420)
+            m2.setdefault("solve_note", "budget allowed --no-solve only")
+        else:
+            m2 = {"error": f"skipped: {rem:.0f}s budget left"}
+            log(f"[256^3] SKIPPED: {rem:.0f}s left")
+        if "error" not in m2:
             extra["256"] = {
                 "vcycle_ms": m2["vcycle_s"] * 1e3,
                 "vcycle_fp32_ms": m2.get("vcycle_fp32_s", -1) * 1e3,
@@ -738,152 +892,20 @@ def main():
             }
             if "solve_note" in m2:
                 extra["256"]["solve_note"] = m2["solve_note"]
-        except Exception as e:  # secondary size must not kill the headline
-            log(f"[256^3] measurement failed: {type(e).__name__}: {e}")
-            extra["256"] = {"error": f"{type(e).__name__}: {e}"}
+        else:
+            extra["256"] = m2
+        emit()
 
-    # detail phases run in FRESH subprocesses: the remote (axon) TPU backend
-    # returns INVALID_ARGUMENT once too many programs accumulate in one
-    # process (observed killing the whole bench after the five config rows),
-    # and a detail row must never cost the headline JSON
-    def _sub_json(flag: str, timeout_s: int) -> dict:
-        import subprocess
-        import sys as _sys
+    if on_tpu and not args.no_configs:
+        devsetup_detail.update(
+            _sub_json(["--devsetup-only"], "devsetup", min_s=240, max_s=700))
+        emit()
+    if not args.no_configs:
+        alg_detail.update(
+            _sub_json(["--alg-only"], "alg48", min_s=240, max_s=600))
 
-        # fit into the remaining global budget (reserve 90 s for the CPU
-        # baseline + final emission); a skipped row is driver-visible, a
-        # killed bench is not
-        timeout_s = min(timeout_s, _remaining() - 90)
-        if timeout_s < 120:
-            log(f"[{flag}] SKIPPED: bench budget exhausted "
-                f"({_remaining():.0f}s left)")
-            return {"error": "skipped: bench wall-clock budget exhausted"}
-        try:
-            p = subprocess.run(
-                [_sys.executable, __file__, flag], capture_output=True,
-                text=True, timeout=timeout_s)
-            if p.returncode != 0:
-                raise RuntimeError(f"rc={p.returncode}: "
-                                   f"{p.stderr.strip()[-400:]}")
-            for ln in p.stderr.splitlines():
-                log(f"  {ln}")
-            return json.loads(p.stdout.strip().splitlines()[-1])
-        except Exception as e:
-            log(f"[{flag}] FAILED: {type(e).__name__}: {e}")
-            return {"error": f"{type(e).__name__}: {e}"}
-
-    # priority order under the budget: the algebraic-128^3 row (VERDICT r3
-    # next #2a) is the newest evidence and runs first; the five acceptance-
-    # config rows (BASELINE.json:7-11) are judge-checked every round and run
-    # SECOND — last round they degraded behind BOTH at-scale rows and were
-    # skipped; devsetup/alg48 repeat stable evidence and degrade last
-    alg128_detail = ({} if (args.no_configs or not on_tpu)
-                     else _sub_json("--alg128-only", 1500))
-    configs_detail = {} if args.no_configs else _sub_json("--configs-only",
-                                                          1800)
-    devsetup_detail = ({} if (args.no_configs or not on_tpu)
-                       else _sub_json("--devsetup-only", 900))
-    alg_detail = {} if args.no_configs else _sub_json("--alg-only", 1200)
-
-    # ---- CPU-core-equivalent baseline (same size as the device headline:
-    # cache-resident small problems flatter the CPU — VERDICT r1 weak #9;
-    # levels_csr was snapshotted above before the 256^3 measurement) ----
-    cpu_size = size
-    bc = default_rhs(cpu_size**3, dtype=np.float64)
-    cpu_cycle_s = scipy_vcycle_time(levels_csr, bc)
-    cpu_dofs = cpu_size**3 / cpu_cycle_s
-    log(f"CPU-core baseline ({cpu_size}^3): {cpu_cycle_s*1e3:.2f} ms/cycle "
-        f"-> {cpu_dofs/1e6:.1f} MDOF/s")
-
-    vs_baseline = dofs_per_s / (10.0 * cpu_dofs)
-    full_detail = {
-        "problem": f"3D Poisson {size}^3 AMG-PCG (structured DIA engine)",
-        "op_dtype": "bfloat16 operators / fp32 vectors",  # VERDICT r3 weak 6
-        "vcycle_ms": vcycle_s * 1e3,
-        "vcycle_fp32_ms": m.get("vcycle_fp32_s", -1) * 1e3,
-        "setup_s": setup_s,
-        "setup_cold_s": setup_cold_s,
-        "solve_to_1e-8_s": solve_s,
-        "pcg_iterations": iters_total,
-        "final_relres": final_relres,
-        "cpu_core_dof_per_s": cpu_dofs,
-        "device": str(dev),
-        "kernel_check": kcheck,
-        "configs": configs_detail,
-        "algebraic": alg_detail,
-        "alg128": alg128_detail,
-        "device_setup": devsetup_detail,
-        **extra,
-    }
-    # full detail: to a repo file + stderr (the driver's stdout tail capture
-    # truncates at 2000 chars — BENCH_r03 lost the whole round-3 headline to
-    # an over-long final line, VERDICT r3 next #1)
-    try:
-        import pathlib
-
-        pathlib.Path(__file__).with_name("BENCH_DETAIL.json").write_text(
-            json.dumps({"metric": "vcycle_dof_per_s_per_chip",
-                        "value": dofs_per_s, "unit": "DOF/s",
-                        "vs_baseline": vs_baseline,
-                        "detail": full_detail}, indent=1))
-    except OSError as e:
-        log(f"BENCH_DETAIL.json write failed: {e}")
-    log("FULL DETAIL: " + json.dumps(full_detail))
-
-    # compact headline (the ONE stdout JSON line): short keys, 4 significant
-    # digits, per-block summaries only
-    def _cfg_compact(d):
-        return {k: ([v.get("n"), v.get("iterations"), v.get("true_relres")]
-                    if "error" not in v else "ERR")
-                for k, v in d.items()}
-
-    c256 = extra.get("256", {})
-    compact = {
-        "metric": "vcycle_dof_per_s_per_chip",
-        "value": dofs_per_s,
-        "unit": "DOF/s",
-        "vs_baseline": vs_baseline,
-        "detail": _sig({
-            "problem": f"3D Poisson {size}^3 AMG-PCG, structured engine, "
-                       "bf16 ops/fp32 vectors",
-            "vcycle_ms": vcycle_s * 1e3,
-            "fp32_vcycle_ms": m.get("vcycle_fp32_s", -1) * 1e3,
-            "setup_s": setup_s, "setup_cold_s": setup_cold_s,
-            "solve_s": solve_s, "iters": iters_total,
-            "relres": final_relres,
-            "cpu_mdof_s": cpu_dofs / 1e6,
-            "kcheck": ("pass" if kcheck.get("ran") else "skip"),
-            "c256": ({k: c256.get(k) for k in
-                      ("vcycle_ms", "dof_per_s", "per_dof_vs_headline",
-                       "solve_to_tol_s", "pcg_iterations")}
-                     if "error" not in c256 else "ERR"),
-            "alg128": ({k: alg128_detail.get(k) for k in
-                        ("vcycle_ms", "dof_per_s", "setup_warm_s",
-                         "setup_cold_s", "solve_warm_s", "iterations")}
-                       if alg128_detail and "error" not in alg128_detail
-                       else alg128_detail.get("error", "skip")),
-            "dev_setup": ({k: devsetup_detail.get(k) for k in
-                           ("n", "setup_warm_s", "setup_cold_s",
-                            "setup_rows_per_s", "device_fused_levels")}
-                          if devsetup_detail and "error" not in devsetup_detail
-                          else devsetup_detail.get("error", "skip")),
-            "alg48": ({"setup_warm_s": alg_detail.get("setup_warm_s"),
-                       "solve_dev_ms":
-                           (alg_detail.get("banded_solve_warm_device_s", -1)
-                            or -1) * 1e3,
-                       "iters": alg_detail.get("iterations")}
-                      if "error" not in alg_detail else "ERR"),
-            "cfg": _cfg_compact(configs_detail),
-            "detail_file": "BENCH_DETAIL.json",
-        }),
-    }
-    line = json.dumps(compact)
-    if len(line) >= 1800:  # hard fence: never hand the driver a long line
-        log(f"WARNING: compact line {len(line)} chars >= 1800; pruning cfg")
-        compact["detail"].pop("cfg", None)
-        line = json.dumps(compact)
-    assert len(line) < 1800, f"final line {len(line)} chars"
-    print(line, flush=True)
+    log("FULL DETAIL: see BENCH_DETAIL.json")
+    emit()  # final enriched line, last-on-stdout in a completed run
 
 
 if __name__ == "__main__":
