@@ -72,13 +72,13 @@ class AmgConfig:
     # 63 -> 27 PCG iterations for 2 sweeps at +0.03 operator complexity).
     interp_refine: int = 0
     interp_refine_omega: float = 2.0 / 3.0
-    # Jacobi refinement sweeps applied when a fat device level (A.K >
-    # interp.EXT_DEVICE_MAX_K) falls back from ext+i to direct
-    # interpolation inside the fused setup programs: recovers the
-    # distance-2 quality through an A @ P product instead of the
-    # quadratic-slot candidate set (48^3 device-forced: 14 -> 11 PCG
-    # iterations with one sweep; host ext+i oracle 10).  0 disables.
-    fat_interp_refine: int = 1
+    # extra Jacobi refinement sweeps on fat device levels (A.K >
+    # interp.EXT_DEVICE_MAX_K).  Those levels run ext+i on the strength-
+    # compacted operator (interp.extended_interpolation_strong), which
+    # already carries the distance-2 quality — sweeps on top are optional
+    # polish (they were essential when fat levels fell back to DIRECT
+    # interpolation; measured then: 14 -> 11 PCG iterations at 48^3).
+    fat_interp_refine: int = 0
     # coarse-operator sparsification: drop |a_ij| < filter_tol * row max and
     # lump into the diagonal (PAPERS.md:6); 0 disables
     filter_tol: float = 0.0

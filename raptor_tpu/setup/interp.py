@@ -253,6 +253,7 @@ def extended_interpolation_core(
     gcol: jax.Array,
     gid_row: jax.Array,
     p_max: int = 4,
+    dii_init: jax.Array | None = None,
 ) -> EllMatrix:
     """Extended+i (distance-two) interpolation body, jit-traceable.
 
@@ -333,7 +334,9 @@ def extended_interpolation_core(
 
     # ---- numerators / denominators ----
     w = jnp.zeros((KT, n), dt)
-    dii = A.diagonal()
+    # dii_init: a pre-folded modified diagonal (strength_compact lumps every
+    # dropped weak/overflow entry there); default = the plain diagonal
+    dii = A.diagonal() if dii_init is None else dii_init
     for k1 in range(K):
         # direct a_ij part for ANY own entry whose col is in T_i (weak C
         # neighbors in T included, per the formula); entries outside T that
@@ -422,11 +425,86 @@ def extended_interpolation_core(
     )
 
 
-# device levels wider than this fall back to direct interpolation (the
-# KT = K*(K2+1) slot bound of the jitted ext+i core grows quadratically);
-# every level below config.host_setup_threshold gets full ext+i via the
-# host-NumPy path regardless
+# device levels wider than this run ext+i on the strength-compacted
+# operator (extended_interpolation_strong) instead of the full one — the
+# KT = K*(K2+1) slot bound of the jitted ext+i core grows quadratically in
+# the operator width; every level below config.host_setup_threshold gets
+# full ext+i via the host-NumPy path regardless
 EXT_DEVICE_MAX_K = 16
+
+# static strong width of the compacted fat-level ext+i: KT = 12*13 = 156
+# target slots — (KT, n) temporaries stay a few hundred MB at the ~0.5M-row
+# coarse levels where the fat path fires (128^3 L1)
+EXT_STRONG_MAX_K = 12
+
+
+def strength_compact(A: EllMatrix, smask: jax.Array, k_out: int):
+    """Top-|a| strength compaction (the operator view of modularized ext+i,
+    cf. hypre's MM-ext+i): S keeps each row's ``k_out`` largest-|a_ij|
+    STRONG off-diagonal entries, front-packed at static width k_out; every
+    dropped off-diagonal entry (weak, or strong overflow past k_out) is
+    lumped into the returned modified diagonal
+    ``dii0 = a_ii + sum(dropped a_il)``.  Running the ext+i core on
+    (S, dii0) bounds its quadratic slot cost by k_out instead of A.K, which
+    is what lets fat device levels (A.K > EXT_DEVICE_MAX_K) keep distance-2
+    interpolation instead of degrading to direct (VERDICT r4 next #5: the
+    direct fallback cost the 128^3 algebraic row 17-vs-7 PCG iterations)."""
+    K, n = A.data.shape
+    row = A.row_index()
+    off = (A.cols != row) & A.slot_mask()
+    strong = smask & off
+    a = A.data
+    kw = min(k_out, K)
+    absa = jnp.where(strong, jnp.abs(a), -1.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, n), 0)
+    keep = jnp.zeros((K, n), bool)
+    cur = absa
+    for _ in range(kw):
+        arg = jnp.argmax(cur, axis=0)
+        oh = lane == arg[None, :]
+        keep = keep | (oh & (cur > 0))
+        cur = jnp.where(oh, -1.0, cur)
+    slotpos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
+    posk = jnp.where(keep, slotpos, kw)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (K, n), 1)
+    S_data = jnp.zeros((kw, n), A.dtype).at[posk, lane2].add(
+        jnp.where(keep, a, 0), mode="drop")
+    S_cols = jnp.zeros((kw, n), jnp.int32).at[posk, lane2].max(
+        jnp.where(keep, A.cols, 0), mode="drop")
+    s_nnz = jnp.sum(keep, axis=0).astype(jnp.int32)
+    # empty slots point at the row itself (value 0), the EllMatrix invariant
+    ks = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
+    srow = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (kw, n))
+    S_cols = jnp.where(ks < s_nnz[None, :], S_cols, srow)
+    dii0 = A.diagonal() + jnp.sum(jnp.where(off & ~keep, a, 0), axis=0)
+    S = EllMatrix(data=S_data, cols=S_cols, row_nnz=s_nnz, shape=A.shape,
+                  n_rows_pad=A.n_rows_pad, n_cols_pad=A.n_cols_pad)
+    return S, dii0
+
+
+@partial(jax.jit, static_argnames=("p_max", "k_s"))
+def extended_interpolation_strong(
+    A: EllMatrix, smask: jax.Array, cf: jax.Array, p_max: int = 4,
+    k_s: int = EXT_STRONG_MAX_K,
+) -> tuple[EllMatrix, jax.Array]:
+    """Ext+i on the strength-compacted operator (``strength_compact``):
+    distance-2 interpolation for fat device levels at a k_s-bounded slot
+    cost.  Every stored entry of S is strong by construction, so the core's
+    weak-collapse terms are inert and the dropped entries enter through the
+    pre-folded modified diagonal.  When no entry is dropped (all off-diags
+    strong and A.K <= k_s) this equals ``extended_interpolation`` up to fp
+    reassociation."""
+    is_c = cf == C_PT
+    cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
+    S, dii0 = strength_compact(A, smask, k_s)
+    gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
+    smask_S = (S.cols != S.row_index()) & S.slot_mask()
+    sc = smask_S & jnp.take(is_c, S.cols)
+    ccols = jnp.where(jnp.take(is_c, S.cols), jnp.take(cmap, S.cols), -1)
+    P = extended_interpolation_core(
+        S, S.data, S.cols, S.row_nnz, sc, ccols, smask_S, is_c, is_c, cmap,
+        cmap, gcol, gcol, p_max=p_max, dii_init=dii0)
+    return P, jnp.sum(is_c.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("p_max",))
