@@ -362,45 +362,50 @@ def _run_interp(mesh, A_dist: DistMatrix, cf, cfg: AmgConfig, max_c: int,
         is_c_ext = halo_exchange(is_c.astype(jnp.int32), plan, AXIS) > 0
         cmap_ext = halo_exchange(cmap, plan, AXIS)
 
-        from raptor_tpu.setup.interp import EXT_DEVICE_MAX_K
-
-        if classical or (extended and A_loc.K <= EXT_DEVICE_MAX_K):
+        if classical:
             gext = rest[0][0]  # (n_ext,) ext index -> global column id
             colsg = jnp.take(gext, A_loc.cols)  # owned rows, global ids
             ext_data = halo_exchange_many(A_loc.data, plan, AXIS)
             ext_colsg = halo_exchange_many(colsg, plan, AXIS)
             ext_nnz = halo_exchange(A_loc.row_nnz, plan, AXIS)
-            if classical:
-                from raptor_tpu.setup.interp import (
-                    classical_interpolation_core,
-                )
+            from raptor_tpu.setup.interp import classical_interpolation_core
 
-                Pl = classical_interpolation_core(
-                    A_loc, ext_data, ext_colsg, ext_nnz, smask,
-                    is_c, is_c_ext, cmap, cmap_ext, gext,
-                )
-            else:
-                from raptor_tpu.setup.interp import (
-                    extended_interpolation_core,
-                )
+            Pl = classical_interpolation_core(
+                A_loc, ext_data, ext_colsg, ext_nnz, smask,
+                is_c, is_c_ext, cmap, cmap_ext, gext,
+            )
+        elif extended:
+            # MM-formulation ext+i (interp.ext_mm_core), the same
+            # construction the single-device setup runs: strength-compact
+            # the LOCAL rows (no comm), then ship S rows + per-entry global
+            # coarse ids + the per-row strong-C rowsum through the existing
+            # halo — distance-2 targets outside this shard's halo ride with
+            # the rows as (gid, cid) pairs, and the MM denominator is just
+            # the neighbor row's shipped rowsum plus the local back-entry
+            from raptor_tpu.setup.interp import (
+                EXT_STRONG_MAX_K,
+                ext_mm_core,
+                strength_compact,
+            )
 
-                # strong-C flags and global coarse ids are computed by each
-                # entry's OWNER (who holds that column in its halo) and
-                # shipped with the rows: distance-2 targets can live
-                # outside this shard's halo, so the (gid, cid) pairs ride
-                # through the core's dedup instead of a cmap gather
-                sc_own = smask & jnp.take(is_c_ext, A_loc.cols)
-                ext_sc = halo_exchange_many(
-                    sc_own.astype(jnp.int32), plan, AXIS) > 0
-                cc_own = jnp.where(jnp.take(is_c_ext, A_loc.cols),
-                                   jnp.take(cmap_ext, A_loc.cols),
-                                   jnp.int32(-1))
-                ext_cc = halo_exchange_many(cc_own, plan, AXIS)
-                Pl = extended_interpolation_core(
-                    A_loc, ext_data, ext_colsg, ext_nnz, ext_sc, ext_cc,
-                    smask, is_c, is_c_ext, cmap, cmap_ext, gext,
-                    gext[:n_local], p_max=cfg.p_max_elements,
-                )
+            gext = rest[0][0]
+            S_loc, dii0 = strength_compact(A_loc, smask, EXT_STRONG_MAX_K)
+            colsg = jnp.take(gext, S_loc.cols)
+            off_s = S_loc.slot_mask()
+            sc_own = off_s & jnp.take(is_c_ext, S_loc.cols)
+            cc_own = jnp.where(sc_own, jnp.take(cmap_ext, S_loc.cols),
+                               jnp.int32(-1))
+            rowsum_c = jnp.sum(jnp.where(sc_own, S_loc.data, 0), axis=0)
+            ext_data = halo_exchange_many(S_loc.data, plan, AXIS)
+            ext_colsg = halo_exchange_many(colsg, plan, AXIS)
+            ext_nnz = halo_exchange(S_loc.row_nnz, plan, AXIS)
+            ext_cc = halo_exchange_many(cc_own, plan, AXIS)
+            ext_rowsum_c = halo_exchange(rowsum_c, plan, AXIS)
+            Pl = ext_mm_core(
+                S_loc, ext_data, ext_colsg, ext_nnz, ext_cc, ext_rowsum_c,
+                is_c, is_c_ext, cmap, cmap_ext, gext[:n_local], dii0,
+                p_max=cfg.p_max_elements,
+            )
         else:
             Pl = direct_interpolation_core(
                 A_loc, smask, is_c, is_c_ext, cmap, cmap_ext

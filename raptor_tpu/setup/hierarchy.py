@@ -218,22 +218,14 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
     if interp == "classical":
         P, nc = classical_interpolation(A, smask, cf)
     elif interp == "extended":
-        from raptor_tpu.setup.interp import (
-            EXT_DEVICE_MAX_K,
-            extended_interpolation,
-            extended_interpolation_strong,
-        )
+        from raptor_tpu.setup.interp import extended_interpolation_strong
 
-        if A.K <= EXT_DEVICE_MAX_K:
-            P, nc = extended_interpolation(A, smask, cf, p_max=p_max)
-        else:
-            # fat device level: the jitted ext+i slot bound K*(K2+1) grows
-            # quadratically in A.K, so run ext+i on the strength-compacted
-            # operator instead (top-12 strong entries/row, dropped entries
-            # folded into the modified diagonal) — distance-2 quality at a
-            # bounded slot cost (VERDICT r4 next #5: the old direct
-            # fallback cost the 128^3 row 17-vs-7 PCG iterations)
-            P, nc = extended_interpolation_strong(A, smask, cf, p_max=p_max)
+        # MM-formulation ext+i on the strength-compacted operator for EVERY
+        # device level: distance-2 quality at a k_s-bounded slot cost and a
+        # sort/segment HLO that compiles in seconds where the reference
+        # core's (K*(K+1), n) membership passes took ~600 s at 128^3 L0
+        # (VERDICT r4 next #4/#5; interp.ext_mm_core)
+        P, nc = extended_interpolation_strong(A, smask, cf, p_max=p_max)
     else:
         P, nc = direct_interpolation(A, smask, cf)
     w_T = jnp.max(_transpose_col_counts(P))
@@ -562,18 +554,10 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         if config.interp == "classical":
             P_wide, nc_arr = classical_interpolation(A, smask, cf)
         elif config.interp == "extended":
-            from raptor_tpu.setup.interp import (
-                EXT_DEVICE_MAX_K,
-                extended_interpolation,
-                extended_interpolation_strong,
-            )
+            from raptor_tpu.setup.interp import extended_interpolation_strong
 
-            if A.K <= EXT_DEVICE_MAX_K:
-                P_wide, nc_arr = extended_interpolation(
-                    A, smask, cf, p_max=config.p_max_elements)
-            else:
-                P_wide, nc_arr = extended_interpolation_strong(
-                    A, smask, cf, p_max=config.p_max_elements)
+            P_wide, nc_arr = extended_interpolation_strong(
+                A, smask, cf, p_max=config.p_max_elements)
         else:
             P_wide, nc_arr = direct_interpolation(A, smask, cf)
         nc = int(nc_arr)

@@ -482,28 +482,161 @@ def strength_compact(A: EllMatrix, smask: jax.Array, k_out: int):
     return S, dii0
 
 
+def ext_mm_core(
+    S: EllMatrix,
+    ext_data: jax.Array,
+    ext_cols_glob: jax.Array,
+    ext_nnz: jax.Array,
+    ext_ccols: jax.Array,
+    ext_rowsum_c: jax.Array,
+    is_c_row: jax.Array,
+    is_c_col: jax.Array,
+    cmap_row: jax.Array,
+    cmap_col: jax.Array,
+    gid_row: jax.Array,
+    dii0: jax.Array,
+    p_max: int = 4,
+) -> EllMatrix:
+    """MM-formulation ext+i on a strength-compacted operator — the
+    production device path (the formula-exact reference core is
+    ``extended_interpolation_core``; host oracle:
+    host_setup.np_distance_two_interpolation).
+
+    On the compacted operator S (only strong entries; dropped weak/overflow
+    entries pre-folded into ``dii0``) the ext+i denominator collapses to a
+    per-row quantity:  every strong-C entry of a strong-F neighbor k lies in
+    the target set T_i *by construction*, so
+
+        D_ik = ext_rowsum_c[k] + s_ki
+        w_ij = -( s_ij + sum_k s_ik s_kj / D_ik ) / d_ii
+        d_ii = dii0 + sum_k s_ik s_ki / D_ik + sum_{k: D_ik=0} s_ik
+
+    with no (targets x n) membership matching anywhere: the contribution
+    list (distance-1 strong-C entries + per-k scaled strong-C rows) keys on
+    GLOBAL COARSE ids, one ``lax.sort`` + run-merge sums duplicates, and
+    hypre-style p_max truncation finishes the row.  The HLO is ~K^2 small
+    ops + one sort instead of the reference core's O(K^2) passes over
+    (K*(K+1), n) target buffers — the difference between a ~600 s and a
+    ~30 s remote-TPU compile of the fused setup program at 128^3 L0
+    (VERDICT r4 next #4), and the same construction the distributed setup
+    shards (rowsum_c is a per-row scalar that rides the existing halo).
+
+    View contract (mirrors ``extended_interpolation_core``): ``ext_*`` are
+    the (K2, n_ext) row views addressable by ``S.cols`` (single device: S's
+    own arrays), ``ext_cols_glob`` global column ids, ``ext_ccols`` the
+    global coarse id of each ext entry (-1 for F), ``ext_rowsum_c`` the
+    per-ext-row sum of strong-C values, ``is_c_col``/``cmap_col`` over the
+    column index space, ``gid_row`` the global id of each local row."""
+    from raptor_tpu.ops.sparse_ops import _merge_sorted_rows
+
+    K2, n = S.data.shape
+    dt = S.dtype
+    off = S.slot_mask()
+    BIGC = jnp.int32(2**30)
+    isc_own = jnp.take(is_c_col, S.cols)
+    strong_c = off & isc_own
+    strong_f = off & ~isc_own
+
+    cands = [jnp.where(strong_c, jnp.take(cmap_col, S.cols), BIGC)]
+    cvals = [jnp.where(strong_c, S.data, 0)]
+    dii = dii0
+    for k1 in range(K2):
+        kk = S.cols[k1]
+        rc = jnp.take(ext_cols_glob, kk, axis=1)  # (K2, n)
+        rv = jnp.take(ext_data, kk, axis=1)
+        rcc = jnp.take(ext_ccols, kk, axis=1)
+        kb = jax.lax.broadcasted_iota(jnp.int32, (K2, n), 0)
+        vrow = kb < jnp.take(ext_nnz, kk)[None, :]
+        act = strong_f[k1]
+        hit = vrow & (rc == gid_row[None, :])
+        ski = jnp.sum(jnp.where(hit, rv, 0), axis=0)
+        D = jnp.take(ext_rowsum_c, kk) + ski
+        ok = D != 0
+        coef = jnp.where(act & ok, S.data[k1] / jnp.where(ok, D, 1), 0)
+        dii = dii + coef * ski  # the +i cross term s_ik s_ki / D_ik
+        dii = dii + jnp.where(act & ~ok, S.data[k1], 0)  # zero-D fallback
+        keep = act[None, :] & vrow & (rcc >= 0)
+        cands.append(jnp.where(keep, rcc, BIGC))
+        cvals.append(jnp.where(keep, coef[None, :] * rv, 0))
+    cand = jnp.concatenate(cands, axis=0)  # (K2*(K2+1), n) coarse ids
+    cval = jnp.concatenate(cvals, axis=0)
+    KV = cand.shape[0]
+    cand, cval = jax.lax.sort((cand, cval), dimension=0, num_keys=1)
+    oc, ov, p_nnz = _merge_sorted_rows(cand, cval, BIGC, KV)
+
+    dii = jnp.where(dii != 0, dii, 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (KV, n), 0)
+    t_mask = lane_k < p_nnz[None, :]
+    pvals = jnp.where(t_mask, -ov / dii[None, :], 0)
+
+    # hypre P_max_elmts truncation with +/- -separate rescale (identical to
+    # the reference core's)
+    if p_max > 0 and KV > p_max:
+        absw = jnp.where(t_mask, jnp.abs(pvals), -1.0)
+        keep = jnp.zeros((KV, n), bool)
+        cur = absw
+        for _ in range(p_max):
+            arg = jnp.argmax(cur, axis=0)
+            oh = lane_k == arg[None, :]
+            keep = keep | (oh & (cur > 0))
+            cur = jnp.where(oh, -1.0, cur)
+        pos = pvals > 0
+        full_p = jnp.sum(jnp.where(pos, pvals, 0), axis=0)
+        full_n = jnp.sum(jnp.where(t_mask & ~pos, pvals, 0), axis=0)
+        kept_p = jnp.sum(jnp.where(keep & pos, pvals, 0), axis=0)
+        kept_n = jnp.sum(jnp.where(keep & ~pos, pvals, 0), axis=0)
+        sc_p = jnp.where(kept_p != 0,
+                         full_p / jnp.where(kept_p != 0, kept_p, 1), 1)
+        sc_n = jnp.where(kept_n != 0,
+                         full_n / jnp.where(kept_n != 0, kept_n, 1), 1)
+        pvals = jnp.where(
+            keep, pvals * jnp.where(pos, sc_p[None, :], sc_n[None, :]), 0)
+        Kp = p_max
+    else:
+        Kp = KV
+
+    sel = pvals != 0
+    slotpos = jnp.cumsum(sel.astype(jnp.int32), axis=0) - 1
+    posk = jnp.where(sel, slotpos, Kp)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KV, n), 1)
+    P_data = jnp.zeros((Kp, n), dt).at[posk, lane].add(pvals, mode="drop")
+    P_cols = jnp.zeros((Kp, n), jnp.int32).at[posk, lane].max(
+        jnp.where(sel, oc, 0), mode="drop")
+    p_nnz = jnp.sum(sel, axis=0).astype(jnp.int32)
+
+    k0 = jax.lax.broadcasted_iota(jnp.int32, (Kp, n), 0) == 0
+    own = jnp.where(k0, cmap_row[None, :], 0)
+    P_data = jnp.where(is_c_row[None, :],
+                       jnp.where(k0, 1.0, 0.0).astype(dt), P_data)
+    P_cols = jnp.where(is_c_row[None, :], own, P_cols)
+    p_nnz = jnp.where(is_c_row, 1, p_nnz)
+    return EllMatrix(
+        data=P_data, cols=P_cols, row_nnz=p_nnz,
+        shape=(S.shape[0], S.n_rows_pad),
+        n_rows_pad=S.n_rows_pad, n_cols_pad=S.n_rows_pad,
+    )
+
+
 @partial(jax.jit, static_argnames=("p_max", "k_s"))
 def extended_interpolation_strong(
     A: EllMatrix, smask: jax.Array, cf: jax.Array, p_max: int = 4,
     k_s: int = EXT_STRONG_MAX_K,
 ) -> tuple[EllMatrix, jax.Array]:
-    """Ext+i on the strength-compacted operator (``strength_compact``):
-    distance-2 interpolation for fat device levels at a k_s-bounded slot
-    cost.  Every stored entry of S is strong by construction, so the core's
-    weak-collapse terms are inert and the dropped entries enter through the
-    pre-folded modified diagonal.  When no entry is dropped (all off-diags
-    strong and A.K <= k_s) this equals ``extended_interpolation`` up to fp
-    reassociation."""
+    """Ext+i on the strength-compacted operator (``strength_compact`` +
+    ``ext_mm_core``): the production device interpolation.  When no entry
+    is dropped (all off-diags strong and A.K <= k_s) this equals
+    ``extended_interpolation`` up to fp reassociation."""
     is_c = cf == C_PT
     cmap = (jnp.cumsum(is_c.astype(jnp.int32)) - 1).astype(jnp.int32)
     S, dii0 = strength_compact(A, smask, k_s)
-    gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
     smask_S = (S.cols != S.row_index()) & S.slot_mask()
     sc = smask_S & jnp.take(is_c, S.cols)
-    ccols = jnp.where(jnp.take(is_c, S.cols), jnp.take(cmap, S.cols), -1)
-    P = extended_interpolation_core(
-        S, S.data, S.cols, S.row_nnz, sc, ccols, smask_S, is_c, is_c, cmap,
-        cmap, gcol, gcol, p_max=p_max, dii_init=dii0)
+    ccols = jnp.where(sc, jnp.take(cmap, S.cols), -1)
+    rowsum_c = jnp.sum(jnp.where(sc, S.data, 0), axis=0)
+    gcol = jnp.arange(A.n_rows_pad, dtype=jnp.int32)
+    P = ext_mm_core(
+        S, S.data, S.cols, S.row_nnz, ccols, rowsum_c, is_c, is_c, cmap,
+        cmap, gcol, dii0, p_max=p_max)
     return P, jnp.sum(is_c.astype(jnp.int32))
 
 
