@@ -361,6 +361,33 @@ def device_setup_detail() -> dict:
     log(f"[devsetup] n={n}: {warm:.2f}s warm ({cold:.1f}s cold), "
         f"{n_dev}/{len(h.levels)} device-fused levels, "
         f"{n/warm/1e3:.0f} krows/s")
+
+    # hierarchy QUALITY at scale (VERDICT r4 next #6): the same 96^3
+    # problem built device-fused vs all-host, both measured by an identical
+    # fp64 host PCG + exported-V-cycle oracle (scripts/devsetup_quality.py).
+    # Runs on the CPU backend in a fresh subprocess: quality is a property
+    # of the hierarchy, not the device solver, and this avoids both the
+    # tunnel's 100+ MB operator pulls and two more unique TPU programs.
+    import pathlib
+    import subprocess
+
+    try:
+        qp = subprocess.run(
+            [sys.executable,
+             str(pathlib.Path(__file__).with_name("scripts")
+                 / "devsetup_quality.py"), "96"],
+            capture_output=True, text=True, timeout=1500,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        q = json.loads(qp.stdout.strip().splitlines()[-1])
+        out["iterations_dev"] = q["iterations_dev"]
+        out["iterations_host"] = q["iterations_host"]
+        out["quality"] = q
+        log(f"[devsetup] oracle PCG quality: device-built "
+            f"{q['iterations_dev']} iters vs host-built "
+            f"{q['iterations_host']} iters")
+    except Exception as e:
+        out["quality"] = {"error": f"{type(e).__name__}: {e}"}
+        log(f"[devsetup] quality comparison FAILED: {type(e).__name__}: {e}")
     return out
 
 
