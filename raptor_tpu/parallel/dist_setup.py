@@ -821,8 +821,18 @@ def _run_ac(mesh, A_dist: DistMatrix, ap_arrs, pt_arrs, ccounts, k_ac: int,
             row_g = gcol[None, :]
             off = (Ac.cols != row_g) & Ac.slot_mask()
             mag = jnp.where(off, jnp.abs(Ac.data), 0)
-            row_max = jnp.max(mag, axis=0)
-            drop = off & (mag < filter_tol * row_max[None, :])
+            # symmetric criterion |a_ij| < tol*sqrt(d_i d_j) (mirrors
+            # ell_filter_fixed; the row-max test built nonsymmetric coarse
+            # operators that broke PCG — see its docstring).  d_j for
+            # remote coarse columns rides ONE all_gather of the owned
+            # diagonals (max_c words/device).
+            d_own = jnp.abs(jnp.sum(
+                jnp.where((Ac.cols == row_g) & Ac.slot_mask(), Ac.data, 0),
+                axis=0))
+            d_glob = jax.lax.all_gather(d_own, AXIS).reshape(-1)
+            scale = jnp.sqrt(
+                d_own[None, :] * jnp.take(d_glob, Ac.cols, mode="clip"))
+            drop = off & (mag < filter_tol * scale)
             lump = jnp.sum(jnp.where(drop, Ac.data, 0), axis=0)
             keep = Ac.slot_mask() & ~drop
             sent = jnp.int32(nc_glob)

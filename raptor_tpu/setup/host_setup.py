@@ -449,7 +449,9 @@ def np_distance_two_interpolation(data, colsA, nnz, smask, cf,
 
 def _np_filter_csr(Ac, tol: float):
     """SciPy mirror of ops.sparse_ops.ell_filter: drop off-diagonal entries
-    with |a_ij| < tol * max_offdiag|a_ik| and lump them into the diagonal."""
+    with |a_ij| < tol * sqrt(|a_ii a_jj|) and lump them into the diagonal
+    (symmetric criterion — see ell_filter_fixed's docstring for why the
+    row-max test broke PCG at 128^3)."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(Ac)
@@ -458,9 +460,8 @@ def _np_filter_csr(Ac, tol: float):
     rows = np.repeat(np.arange(n), np.diff(A.indptr))
     offd = A.indices != rows
     mag = np.where(offd, np.abs(A.data), 0)
-    row_max = np.zeros(n, A.data.dtype)
-    np.maximum.at(row_max, rows, mag)
-    drop = offd & (mag < tol * row_max[rows])
+    dabs = np.abs(A.diagonal())
+    drop = offd & (mag < tol * np.sqrt(dabs[rows] * dabs[A.indices]))
     lump = np.zeros(n, A.data.dtype)
     np.add.at(lump, rows, np.where(drop, A.data, 0))
     data = np.where(drop, 0, A.data)

@@ -103,10 +103,15 @@ def test_ell_filter():
     assert np.allclose(np.asarray(fa.sum(axis=1)), np.asarray(a.sum(axis=1)),
                        atol=1e-12)
     assert fa.nnz < a.nnz
-    # large entries untouched
+    # entries above the symmetric threshold tol*sqrt(d_i d_j) untouched
     d = abs(a - fa).toarray()
-    mx = np.abs(a.toarray()).max(axis=1)
-    assert (d.max(axis=1) <= 0.05 * mx * (1 + 1e-12) + 1e-15).all()
+    np.fill_diagonal(d, 0)
+    dg = np.abs(a.diagonal())
+    thr = 0.05 * np.sqrt(np.outer(dg, dg))
+    assert (d <= thr * (1 + 1e-12) + 1e-15).all()
+    # the filtered operator stays symmetric (a row-max criterion did not:
+    # PCG diverged on the 128^3 ext+i hierarchy it produced)
+    assert abs(fa - fa.T).max() < 1e-12
 
 
 def test_filtered_hierarchy_converges():
