@@ -27,7 +27,7 @@ from raptor_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-REPS = 8
+REPS = 16
 
 cfg = AmgConfig(splitting="pmis", interp="extended", fine_layout="banded",
                 smoother="cheb4", cheb_degree=2,
@@ -67,10 +67,18 @@ def timeit(f, op, x, out_like):
 
     loop = jax.jit(run)
     jax.block_until_ready(loop(op, x))
+    # D async dispatches, ONE final block: sequential block_until_ready
+    # paid a full tunnel RTT (~30 ms) per dispatch — a 3.75 ms/op floor at
+    # the old 2x(REPS=8) that swamped every sub-ms measurement (round-5
+    # remeasure; the structured attrib at reps=1000 showed the same ops at
+    # 0.1-0.3 ms)
+    D = 6
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(op, x))
-    jax.block_until_ready(loop(op, x))
-    return (time.perf_counter() - t0) / (2 * REPS) * 1e3
+    out = None
+    for _ in range(D):
+        out = loop(op, x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (D * REPS) * 1e3
 
 
 # ---- ground truth: one full preconditioner cycle ----

@@ -150,11 +150,96 @@ def run_variant(A, name, cfg, degree=3, bf16=False, gamma=1):
     return {"name": name, "iters": it, "opc": opc, "traffic": traffic}
 
 
+def geo_mode(size, degree=3, interp="extended", theta=0.25, bf16=True):
+    """Plane-detected geometric-split coarsening (validation for the
+    production change): alternate semicoarsening of the largest grid dim —
+    the C/F split the structured engine uses — fed through the GENERAL
+    interpolation machinery (np ext+i) and Galerkin RAP.  If this matches
+    the structured engine's iteration count, the banded setup path gets a
+    'given-split' mode and alg128 inherits structured-grade convergence."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.ell import ell_from_csr
+    from raptor_tpu.gallery import poisson_3d
+    from raptor_tpu.setup.host_setup import (
+        np_distance_two_interpolation, np_strength_mask)
+    from raptor_tpu.setup.splitting import C_PT, F_PT
+
+    a = sp.csr_matrix(poisson_3d(size)).astype(np.float64)
+    exts = [size, size, size]  # extents, stride order: [1, e0, e0*e1]
+    levels = []
+    t0 = time.perf_counter()
+    while a.shape[0] > 3000 and max(exts) > 2:
+        n = a.shape[0]
+        E = ell_from_csr(a, dtype=np.float64, device=False)
+        data, cols, nnz = (np.asarray(E.data), np.asarray(E.cols),
+                           np.asarray(E.row_nnz))
+        n_pad = E.n_rows_pad
+        smask = np_strength_mask(data, cols, nnz, theta)
+        d = int(np.argmax(exts))  # coarsen the largest dim
+        stride = int(np.prod(exts[:d])) if d > 0 else 1
+        idx = np.arange(n_pad)
+        coord = (idx // stride) % exts[d]
+        cf = np.where((coord % 2 == 0) & (idx < n), C_PT, F_PT).astype(
+            np.int32)
+        if interp == "direct1d":
+            # dim-restricted direct interpolation (the structured engine's
+            # transfer shape): only the +/-stride couplings interpolate, so
+            # RAP never grows past 27-pt
+            from raptor_tpu.setup.host_setup import np_direct_interpolation
+
+            rows_b = np.broadcast_to(idx[None, :], cols.shape)
+            m1d = smask & (np.abs(cols - rows_b) == stride)
+            Pd, Pc, Pn, nc = np_direct_interpolation(data, cols, nnz, m1d,
+                                                     cf)
+            from raptor_tpu.setup.host_setup import _ell_np_to_coo
+
+            P_pad = _ell_np_to_coo(Pd, Pc, Pn, n_pad, nc).tocsr()
+        else:
+            P_pad, nc = np_distance_two_interpolation(
+                data, cols, nnz, smask, cf, variant=interp)
+        P = P_pad[:n].tocsr()
+        R = P.T.tocsr()
+        dinv = 1.0 / a.diagonal()
+        levels.append({"A": a, "dinv": dinv, "P": P, "R": R})
+        a = (R @ (a @ P)).tocsr()
+        exts[d] = (exts[d] + 1) // 2
+    levels.append({"A": a, "dinv": 1.0 / a.diagonal()})
+    ts = time.perf_counter() - t0
+    if bf16:
+        import ml_dtypes
+
+        def rt(m):
+            m = m.copy()
+            m.data = m.data.astype(ml_dtypes.bfloat16).astype(np.float64)
+            return m
+
+        levels = [{**e, **{k + "m": rt(e[k]) for k in ("A", "P", "R")
+                           if k in e}} for e in levels]
+    nnz0 = levels[0]["A"].nnz
+    opc = sum(e["A"].nnz for e in levels) / nnz0
+    ks = [int(np.diff(e["A"].indptr).max()) for e in levels]
+    b = np.ones(levels[0]["A"].shape[0])
+    t0 = time.perf_counter()
+    it, rel = pcg(levels, b, degree=degree)
+    tp = time.perf_counter() - t0
+    sizes = [e["A"].shape[0] for e in levels]
+    log(f"geo-split {interp} deg{degree} bf16={bf16}: iters={it} "
+        f"relres={rel:.1e} opc={opc:.2f} maxK={ks} sizes={sizes} "
+        f"setup={ts:.1f}s pcg={tp:.1f}s")
+    return it
+
+
 def main():
     from raptor_tpu.config import AmgConfig
     from raptor_tpu.gallery import poisson_3d
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    if len(sys.argv) > 2 and sys.argv[2] == "geo":
+        for iv in (sys.argv[3].split(",") if len(sys.argv) > 3
+                   else ["extended", "classical"]):
+            geo_mode(size, interp=iv)
+        return
     shuffle = len(sys.argv) > 2 and sys.argv[2] == "shuffle"
     A = poisson_3d(size)
     if shuffle:
