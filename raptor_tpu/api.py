@@ -89,6 +89,49 @@ def _plane_stats_ell(E, max_rows: int = 65536) -> tuple:
     return _plane_stats((cols - rows[None, :])[slot], rows.size)
 
 
+def _detect_grid(coo, n: int, iso_ratio: float = 8.0) -> "list | None":
+    """Infer lexicographic grid extents [e0, e1, e2] (stride order) from a
+    matrix's nonzero offsets, or None.
+
+    Accepts stencil-patterned matrices whose offsets lie in the
+    {-1,0,1}-span of strides {1, a, b} (7/27-point 3D; {1, a} for 2D with
+    e2=1).  Gate for geo-split coarsening (AmgConfig.geo_split): also
+    requires the unit-stride coupling magnitudes to be near-isotropic
+    (max/min mean |a_ij| over the candidate strides <= iso_ratio) —
+    strongly anisotropic problems (config 3) must keep strength-driven
+    PMIS, where semicoarsening the largest dim would cut across the weak
+    couplings."""
+    deltas = coo.col.astype(np.int64) - coo.row
+    pos = np.unique(deltas[deltas > 0])
+    # stencil patterns have a handful of distinct offsets; a shuffled/
+    # unstructured matrix has up to n of them and would make the candidate
+    # pair scan below quadratic — bail immediately
+    if pos.size == 0 or pos.size > 32 or pos[0] != 1:
+        return None
+    cands = [int(d) for d in pos if d > 1 and n % int(d) == 0]
+
+    def mean_mag(s):
+        m = np.abs(deltas) == s
+        return float(np.abs(coo.data[m]).mean()) if m.any() else 0.0
+
+    def iso_ok(strides):
+        mags = [mean_mag(s) for s in strides]
+        return min(mags) > 0 and max(mags) / min(mags) <= iso_ratio
+
+    for a in cands:
+        for b in [c for c in cands if c > a and c % a == 0]:
+            span = {i + j * a + k * b
+                    for i in (-1, 0, 1) for j in (-1, 0, 1)
+                    for k in (-1, 0, 1)}
+            if all(int(d) in span for d in pos) and iso_ok((1, a, b)):
+                return [a, b // a, n // b]
+    for a in cands:  # 2D
+        span = {i + j * a for i in (-1, 0, 1) for j in (-1, 0, 1)}
+        if all(int(d) in span for d in pos) and iso_ok((1, a)):
+            return [a, n // a, 1]
+    return None
+
+
 def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     """fine_layout='banded' (BASELINE.json:5 general CSR): choose the
     ordering and per-level fast layout from the matrix's structure.
@@ -140,7 +183,16 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     # row_ids=p: PMIS weights key on ORIGINAL row ids, so the C/F sets (and
     # hence Krylov iteration counts) are identical to the unpermuted build
     # (VERDICT r2 weak #4: the RCM-seeded order cost ~3 iterations)
-    hier = build_hierarchy(E, cfg, dtype=dtype, row_ids=p, stage=False)
+    # aggressive (config 3) keeps its tuned multipass pipeline; geo-split
+    # additionally bails per level when the coarsened dim's couplings are
+    # not strong (empty-P-row guard in the level builders)
+    geo = (_detect_grid(coo, n)
+           if plane_mode and config.geo_split and not config.aggressive
+           else None)
+    if geo is not None:
+        _setup_tick(f"grid detected: extents={geo} -> geo-split", _t0)
+    hier = build_hierarchy(E, cfg, dtype=dtype, row_ids=p, stage=False,
+                           geo=geo)
     _t0 = _setup_tick("build_hierarchy", _t0)
 
     from raptor_tpu.core.hybrid import rect_banded_from_ell

@@ -102,6 +102,16 @@ class AmgConfig:
     # round trips (~30s measured at n=110k) vs ~5s of vectorized numpy;
     # device levels win again when n is large enough to amortize that.
     host_setup_threshold: int = 262144
+    # geo-split coarsening on the banded path: when the input's nonzero
+    # offsets factor as a lexicographic grid (api._detect_grid) AND the
+    # unit-stride couplings are near-isotropic, levels coarsen by
+    # alternating semicoarsening of the largest dim (the structured
+    # engine's split) through the general interpolation machinery —
+    # dim-restricted direct interp keeps every Galerkin operator <= 27-pt
+    # and convergence structured-grade (9 vs 16 PCG iters at 128^3,
+    # scripts/exp_alg_quality.py geo).  Falls back to PMIS per level when
+    # detection fails; disable to force fully-algebraic coarsening.
+    geo_split: bool = True
     # operator layout for the solve path ('ell' | 'banded'):
     # 'banded' RCM-reorders the input and re-lays each large level as a
     # BandedMatrix (core/hybrid.py) — the paged dynamic-gather Pallas

@@ -243,6 +243,89 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
     return P, dinv, lmax, cf, jnp.stack([nc, w_T, w_P])
 
 
+@partial(jax.jit, static_argnames=("stride", "theta", "strength_kind",
+                                   "want_lmax"))
+def _level_phase1_geo(A: EllMatrix, cf, *, stride, theta, strength_kind,
+                      want_lmax):
+    """Fused first half of a GEO-SPLIT level (given C/F from alternating
+    semicoarsening of a detected grid — api._detect_grid): strength ->
+    dim-restricted direct interpolation -> width scalars.  Restricting the
+    interpolation mask to the +/-stride couplings reproduces the structured
+    engine's 1D transfer shape, so Galerkin operators never grow past the
+    27-point pattern (measured: maxK [7,15,27,27,...] and 9 PCG iterations
+    at 128^3 vs 16 for PMIS+ext+i — scripts/exp_alg_quality.py geo mode).
+    No splitting runs on device: cf is O(n) host arithmetic on the level's
+    tracked extents."""
+    smask = strength_mask(A, theta, strength_kind)
+    row = A.row_index()
+    m1d = smask & (jnp.abs(A.cols - row) == stride)
+    P, nc = direct_interpolation(A, m1d, cf)
+    w_T = jnp.max(_transpose_col_counts(P))
+    w_P = jnp.max(P.row_nnz)
+    # F rows with NO strong +/-stride coupling get empty interp rows: the
+    # coarsened dim is weak there (anisotropy) — the caller counts these
+    # and abandons geo for the remaining levels rather than build a
+    # divergent P (the classic semicoarsening-across-the-weak-dim failure)
+    from raptor_tpu.setup.splitting import F_PT
+
+    n_empty = jnp.sum((P.row_nnz == 0) & (cf == F_PT))
+    d = A.diagonal()
+    dinv = 1.0 / jnp.where(d != 0, d, 1.0)
+    lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
+    return P, dinv, lmax, jnp.stack([nc, w_T, w_P, n_empty])
+
+
+def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
+    """C/F split for semicoarsening dim ``d``: C = even coordinate.  Row
+    index space is lexicographic with stride(d) = prod(exts[:d])."""
+    from raptor_tpu.setup.splitting import C_PT, F_PT
+
+    stride = int(np.prod(exts[:d])) if d > 0 else 1
+    idx = np.arange(n_pad)
+    coord = (idx // stride) % exts[d]
+    return np.where((coord % 2 == 0) & (idx < n), C_PT, F_PT).astype(
+        np.int32), stride
+
+
+def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list):
+    """Run one geo-split level through the fused device programs (phase2 is
+    shared with the PMIS path — same compiled program at equal widths)."""
+    d = int(np.argmax(exts))
+    cf, stride = _geo_cf(n, A.n_rows_pad, exts, d)
+    want_lmax = config.smoother in _CHEB_SMOOTHERS
+    P_wide, dinv, lmax, scal = _level_phase1_geo(
+        A, jnp.asarray(cf), stride=stride, theta=config.theta,
+        strength_kind=config.strength, want_lmax=want_lmax)
+    scal = jax.device_get(scal)
+    nc, w_T, w_P, n_empty = (int(v) for v in np.asarray(scal))
+    if nc == 0 or nc >= n or n_empty > max(1, n // 1000):
+        # n_empty: weak-dim bail (see _level_phase1_geo) — nc=0 signals
+        # the caller to drop geo and re-dispatch this level through PMIS
+        return None, None, None, 0 if n_empty else nc, dinv, None, cf, d
+    P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
+    k_P = min(_bucket8(w_P), P.K)
+    if k_P < P.K:
+        P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
+    w_AP = max(int(_spgemm_width(A, P)), 1)
+    k_T, k_AP = _bucket8(w_T), _bucket8(w_AP)
+    k_Ac = _bucket8(min(3 * A.K + 8, 32))  # geo RAP is <= 27-pt
+    while True:
+        R, Ac_wide, scal2 = _level_phase2(
+            A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
+            filter_tol=config.filter_tol)
+        w_true, leftover = (int(v) for v in np.asarray(scal2))
+        if leftover == 0:
+            break
+        k_Ac = _bucket8(k_Ac + leftover)
+    w_cut = min(_bucket8(w_true), k_Ac)
+    if w_cut < k_Ac:
+        Ac = dataclasses.replace(
+            Ac_wide, data=Ac_wide.data[:w_cut], cols=Ac_wide.cols[:w_cut])
+    else:
+        Ac = Ac_wide
+    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d
+
+
 @partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc", "filter_tol"))
 def _level_phase2(A: EllMatrix, P: EllMatrix, *, k_T, k_AP, k_Ac, nc,
                   filter_tol):
@@ -426,7 +509,8 @@ def cast_hierarchy_algebraic(hier: Hierarchy, dtype) -> Hierarchy:
 
 def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
                     row_ids: "np.ndarray | None" = None,
-                    stage: bool = True) -> Hierarchy:
+                    stage: bool = True,
+                    geo: "list | None" = None) -> Hierarchy:
     """Build an AMG hierarchy from a scipy.sparse matrix or EllMatrix.
 
     Classical path (RS / PMIS / CLJP splitting + direct or modified-classical
@@ -476,7 +560,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             import time as _time
 
             _t0 = _time.perf_counter()
-            hier = host_build_tail(A, levels, config, dtype, row_ids=ids)
+            hier = host_build_tail(A, levels, config, dtype, row_ids=ids,
+                                   geo=geo)
             _t0 = _setup_tick(f"host tail (n={n})", _t0)
             if A_in is not None:
                 hier = attach_residual_lo(hier, A_in)
@@ -484,6 +569,30 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             out = stage_hierarchy(hier) if stage else hier
             _setup_tick("stage", _t0)
             return out
+        if geo is not None and n == int(np.prod(geo)) and max(geo) > 2:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            P, R, Ac, nc, dinv, lmax, cf, d_geo = _geo_fused_level(
+                A, n, config, geo)
+            _setup_tick(f"geo level {len(levels)} (n={n}, K={A.K})", _t0)
+            if nc == 0 or nc >= n:
+                # weak-dim bail: abandon geo, re-dispatch this level (and
+                # the rest of the hierarchy) through the PMIS machinery
+                geo = None
+                continue
+            geo[d_geo] = (geo[d_geo] + 1) // 2
+            if ids is not None:
+                from raptor_tpu.setup.splitting import C_PT
+
+                ids = ids[np.asarray(cf)[:n] == C_PT]
+            color, ncolors = _mcgs_color(A, config)
+            levels.append(
+                Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
+                      n=n, ncolors=ncolors)
+            )
+            A, n = Ac, nc
+            continue
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
             import time as _time
 

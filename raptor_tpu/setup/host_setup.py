@@ -510,12 +510,15 @@ def _host_level_aux(A: EllMatrix, data, cols, nnz, config: AmgConfig):
 
 
 def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
-                    row_ids=None):
+                    row_ids=None, geo: list | None = None):
     """Finish a hierarchy on host: called by setup.hierarchy.build_hierarchy
     once the level size drops to ``config.host_setup_threshold``.  ``levels``
     holds the already-built (device) levels; returns the complete Hierarchy
     with every leaf converted to a device array exactly once at the end.
-    ``row_ids``: see build_hierarchy (permutation-invariant PMIS weights)."""
+    ``row_ids``: see build_hierarchy (permutation-invariant PMIS weights).
+    ``geo``: live grid extents for geo-split levels (mutated per level) —
+    the host mirror of hierarchy._geo_fused_level; falls through to the
+    PMIS machinery once the extents are exhausted."""
     import jax.numpy as jnp
 
     from raptor_tpu.setup.hierarchy import Hierarchy, Level
@@ -538,7 +541,29 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
         n_pad = A.n_rows_pad
         smask = np_strength_mask(data, colsA, nnz, config.theta, config.strength)
         P_pad_csr = None
-        if config.aggressive:
+        geo_done = False
+        if geo is not None and n == int(np.prod(geo)) and max(geo) > 2:
+            # geo-split level (hierarchy._geo_fused_level mirror): given
+            # C/F from alternating semicoarsening + dim-restricted direct
+            # interpolation — 27-pt-capped Galerkin operators, structured-
+            # grade convergence (9 iters at 128^3, exp_alg_quality.py geo)
+            from raptor_tpu.setup.hierarchy import _geo_cf
+
+            d_geo = int(np.argmax(geo))
+            cf, stride = _geo_cf(n, n_pad, geo, d_geo)
+            rows_b = np.broadcast_to(np.arange(n_pad)[None, :], colsA.shape)
+            m1d = smask & (np.abs(colsA - rows_b) == stride)
+            Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, m1d,
+                                                     cf)
+            n_empty = int(((Pn[:n] == 0) & (cf[:n] == F_PT)).sum())
+            if n_empty > max(1, n // 1000):
+                geo = None  # weak-dim bail: PMIS for the remaining levels
+            else:
+                geo[d_geo] = (geo[d_geo] + 1) // 2
+                geo_done = True
+        if geo_done:
+            pass
+        elif config.aggressive:
             seed = config.seed + len(levels) + len(out)
             cf = _np_aggressive_cf(colsA, smask, n, n_pad, seed)
             P_pad_csr, nc = _np_multipass(data, colsA, nnz, smask, cf, n)
