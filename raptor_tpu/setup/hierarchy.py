@@ -256,23 +256,29 @@ def _level_phase1_geo(A: EllMatrix, cf, *, stride, theta, strength_kind,
     at 128^3 vs 16 for PMIS+ext+i — scripts/exp_alg_quality.py geo mode).
     No splitting runs on device: cf is O(n) host arithmetic on the level's
     tracked extents."""
-    smask = strength_mask(A, theta, strength_kind)
     row = A.row_index()
-    m1d = smask & (jnp.abs(A.cols - row) == stride)
+    # GEOMETRIC mask: every entry at +/-stride interpolates, strong or not
+    # — on deep semicoarsened levels boundary rows carry present-but-weak
+    # stride couplings that a strength-restricted mask would orphan
+    # (empty P rows at n=512 of the 32^3 chain, observed round 5)
+    m1d = A.slot_mask() & (jnp.abs(A.cols - row) == stride) & (
+        A.cols != row)
     P, nc = direct_interpolation(A, m1d, cf)
     w_T = jnp.max(_transpose_col_counts(P))
     w_P = jnp.max(P.row_nnz)
-    # F rows with NO strong +/-stride coupling get empty interp rows: the
-    # coarsened dim is weak there (anisotropy) — the caller counts these
-    # and abandons geo for the remaining levels rather than build a
-    # divergent P (the classic semicoarsening-across-the-weak-dim failure)
+    # anisotropy bail signal: F rows whose +/-stride couplings are all
+    # WEAK (fail the strength test) — when a large fraction of rows
+    # semicoarsens across a weak dim, the caller abandons geo for PMIS
+    # (the classic semicoarsening-across-the-weak-dim failure)
     from raptor_tpu.setup.splitting import F_PT
 
-    n_empty = jnp.sum((P.row_nnz == 0) & (cf == F_PT))
+    smask = strength_mask(A, theta, strength_kind)
+    is_f = cf == F_PT
+    n_weak = jnp.sum(is_f & ~jnp.any(m1d & smask, axis=0))
     d = A.diagonal()
     dinv = 1.0 / jnp.where(d != 0, d, 1.0)
     lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
-    return P, dinv, lmax, jnp.stack([nc, w_T, w_P, n_empty])
+    return P, dinv, lmax, jnp.stack([nc, w_T, w_P, n_weak])
 
 
 def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
@@ -287,9 +293,16 @@ def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
         np.int32), stride
 
 
-def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list):
+def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
+                     check_weak: bool = True):
     """Run one geo-split level through the fused device programs (phase2 is
-    shared with the PMIS path — same compiled program at equal widths)."""
+    shared with the PMIS path — same compiled program at equal widths).
+
+    ``check_weak``: apply the anisotropy bail (first sweep through the
+    dims only — deep semicoarsened operators legitimately carry weak or
+    positive stride couplings near boundaries without hurting convergence;
+    the 32^3 chain bailed at n=512 on a strength test that the validated
+    9-iteration 128^3 hierarchy never needed)."""
     d = int(np.argmax(exts))
     cf, stride = _geo_cf(n, A.n_rows_pad, exts, d)
     want_lmax = config.smoother in _CHEB_SMOOTHERS
@@ -297,11 +310,11 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list):
         A, jnp.asarray(cf), stride=stride, theta=config.theta,
         strength_kind=config.strength, want_lmax=want_lmax)
     scal = jax.device_get(scal)
-    nc, w_T, w_P, n_empty = (int(v) for v in np.asarray(scal))
-    if nc == 0 or nc >= n or n_empty > max(1, n // 1000):
-        # n_empty: weak-dim bail (see _level_phase1_geo) — nc=0 signals
+    nc, w_T, w_P, n_weak = (int(v) for v in np.asarray(scal))
+    if nc == 0 or nc >= n or (check_weak and n_weak > n // 10):
+        # n_weak: weak-dim bail (see _level_phase1_geo) — nc=0 signals
         # the caller to drop geo and re-dispatch this level through PMIS
-        return None, None, None, 0 if n_empty else nc, dinv, None, cf, d
+        return None, None, None, 0 if n_weak else nc, dinv, None, cf, d
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
     k_P = min(_bucket8(w_P), P.K)
     if k_P < P.K:
@@ -574,7 +587,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
 
             _t0 = _time.perf_counter()
             P, R, Ac, nc, dinv, lmax, cf, d_geo = _geo_fused_level(
-                A, n, config, geo)
+                A, n, config, geo, check_weak=len(levels) < 3)
             _setup_tick(f"geo level {len(levels)} (n={n}, K={A.K})", _t0)
             if nc == 0 or nc >= n:
                 # weak-dim bail: abandon geo, re-dispatch this level (and

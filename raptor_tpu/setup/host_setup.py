@@ -552,11 +552,16 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
             d_geo = int(np.argmax(geo))
             cf, stride = _geo_cf(n, n_pad, geo, d_geo)
             rows_b = np.broadcast_to(np.arange(n_pad)[None, :], colsA.shape)
-            m1d = smask & (np.abs(colsA - rows_b) == stride)
+            k_b = np.arange(data.shape[0])[:, None]
+            # geometric mask + strength-based anisotropy bail: mirrors
+            # hierarchy._level_phase1_geo (see its comments)
+            m1d = ((k_b < nnz[None, :]) & (colsA != rows_b)
+                   & (np.abs(colsA - rows_b) == stride))
             Pd, Pc, Pn, nc = np_direct_interpolation(data, colsA, nnz, m1d,
                                                      cf)
-            n_empty = int(((Pn[:n] == 0) & (cf[:n] == F_PT)).sum())
-            if n_empty > max(1, n // 1000):
+            n_weak = int(((cf[:n] == F_PT)
+                          & ~(m1d & smask)[:, :n].any(axis=0)).sum())
+            if n_weak > n // 10 and len(levels) + len(out) < 3:
                 geo = None  # weak-dim bail: PMIS for the remaining levels
             else:
                 geo[d_geo] = (geo[d_geo] + 1) // 2
