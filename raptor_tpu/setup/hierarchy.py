@@ -309,34 +309,48 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
     P_wide, dinv, lmax, scal = _level_phase1_geo(
         A, jnp.asarray(cf), stride=stride, theta=config.theta,
         strength_kind=config.strength, want_lmax=want_lmax)
-    scal = jax.device_get(scal)
-    nc, w_T, w_P, n_weak = (int(v) for v in np.asarray(scal))
-    if nc == 0 or nc >= n or (check_weak and n_weak > n // 10):
-        # n_weak: weak-dim bail (see _level_phase1_geo) — nc=0 signals
-        # the caller to drop geo and re-dispatch this level through PMIS
-        return None, None, None, 0 if n_weak else nc, dinv, None, cf, d
+    # geo widths are STRUCTURAL, not data-dependent — nc is the exact
+    # even-coordinate count, P rows hold <= 2 entries, a C point receives
+    # from <= 2 F neighbors + itself, the expand is <= 2 targets per A
+    # entry, and the lex-grid Galerkin pattern never leaves the
+    # {0,±1}^dims offset set (27-pt cap; 15-pt after the first sweep of a
+    # 7-pt input).  So NO width pull is needed: the three per-level host
+    # syncs that dominated the device geo build (tunnel RTT 6-16 s each,
+    # round-5 measure: 3 device levels = 34.7 s warm) collapse to zero and
+    # the levels chain asynchronously.  Only the first-sweep anisotropy
+    # check still reads a scalar back.
+    nc = int(np.prod([(e + 1) // 2 if i == d else e
+                      for i, e in enumerate(exts)]))
+    if check_weak:
+        n_weak = int(np.asarray(jax.device_get(scal))[3])
+        if n_weak > n // 10:
+            # weak-dim bail — nc=0 signals the caller to drop geo and
+            # re-dispatch this level through PMIS
+            return None, None, None, 0, dinv, None, cf, d
+    if nc == 0 or nc >= n:
+        return None, None, None, nc, dinv, None, cf, d
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
-    k_P = min(_bucket8(w_P), P.K)
+    k_P = min(_bucket8(2), P.K)
     if k_P < P.K:
         P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
-    w_AP = max(int(_spgemm_width(A, P)), 1)
-    k_T, k_AP = _bucket8(w_T), _bucket8(w_AP)
-    k_Ac = _bucket8(min(3 * A.K + 8, 32))  # geo RAP is <= 27-pt
-    while True:
-        R, Ac_wide, scal2 = _level_phase2(
-            A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
-            filter_tol=config.filter_tol)
-        w_true, leftover = (int(v) for v in np.asarray(scal2))
-        if leftover == 0:
-            break
-        k_Ac = _bucket8(k_Ac + leftover)
-    w_cut = min(_bucket8(w_true), k_Ac)
-    if w_cut < k_Ac:
-        Ac = dataclasses.replace(
-            Ac_wide, data=Ac_wide.data[:w_cut], cols=Ac_wide.cols[:w_cut])
-    else:
-        Ac = Ac_wide
+    k_T = _bucket8(3)
+    k_AP = _bucket8(2 * A.K)  # <= 2 coarse targets per A entry (pre-merge)
+    k_Ac = _bucket8(15 if A.K <= 8 else 27)
+    R, Ac, scal2 = _level_phase2(
+        A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
+        filter_tol=config.filter_tol)
+    if _GEO_CHECK:
+        w_true, leftover = (int(v) for v in np.asarray(
+            jax.device_get(scal2)))
+        assert leftover == 0 and w_true <= k_Ac, (w_true, leftover, k_Ac)
     return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d
+
+
+# RAPTOR_GEO_CHECK=1: verify the structural width bounds above with a
+# per-level scalar pull (tests set it; production leaves the chain async)
+import os as _os
+
+_GEO_CHECK = bool(_os.environ.get("RAPTOR_GEO_CHECK"))
 
 
 @partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc", "filter_tol"))
@@ -439,6 +453,11 @@ def attach_residual_lo(hier: Hierarchy, A_sp) -> Hierarchy:
     if np.dtype(E.dtype) != np.float32:
         return hier
     a = sp.csr_matrix(A_sp).astype(np.float64)
+    # fp32-exact input (every grid stencil): the remainder is identically
+    # zero — skip the full fp64 ELL rebuild (17.6 s of the 86 s all-host
+    # 128^3 setup, round-5 profile) on one vectorized data check
+    if np.array_equal(a.data.astype(np.float32).astype(np.float64), a.data):
+        return hier
     if hier.perm is not None:
         p = np.asarray(hier.perm)[: a.shape[0]]
         a = a[p][:, p].tocsr()

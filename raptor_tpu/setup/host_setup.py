@@ -472,8 +472,18 @@ def _np_filter_csr(Ac, tol: float):
 
 
 def _np_estimate_lmax(data, cols, dinv, iters: int = 40, safety: float = 1.1):
-    """NumPy mirror of solve.smoothers.estimate_lmax (power iteration)."""
+    """NumPy mirror of solve.smoothers.estimate_lmax (power iteration).
+
+    Large levels use the Gershgorin bound instead: max_i dinv_i*sum_j|a_ij|
+    is a strict upper bound on lambda_max(D^-1 A) — always SAFE for the
+    fourth-kind Chebyshev smoother (only an upper estimate is needed), and
+    measured iteration-neutral on the geo 48^3 chain (8 vs 8) while the
+    40-round power iteration cost 15 s of the 86 s all-host 128^3 setup
+    (round-5 profile)."""
     n_pad = data.shape[1]
+    if n_pad >= 65536:
+        s = np.abs(data).sum(axis=0) * np.abs(dinv)
+        return data.dtype.type(s.max())
     i = np.arange(n_pad, dtype=data.dtype)
     v = np.sin(i * data.dtype.type(0.7511)) + data.dtype.type(0.01)
     v = v / np.linalg.norm(v)
