@@ -225,9 +225,11 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
                 if B is not None and B.n_pad == lev.A.n_rows_pad:
                     lev = dataclasses.replace(lev, Aband=B)
                     attached = True
-            if attached and lev.P is not None:
+            if attached and lev.P is not None and lev.Tgeo is None:
                 # transfer operators follow the same grid-proportional band
-                # (coarse ranks are monotone in the fixed fine order)
+                # (coarse ranks are monotone in the fixed fine order);
+                # geo levels skip this — their GeoTransfer (static reshape
+                # apply) needs no plan and no host pull
                 Pb = rect_banded_from_ell(
                     lev.P, pad_rows(lev.P.n_cols_pad, 1024))
                 Rb = rect_banded_from_ell(

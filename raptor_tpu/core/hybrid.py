@@ -633,3 +633,71 @@ def rect_banded_spmv(B: RectBanded, x: jax.Array,
     else:
         y = banded_spmv_rect_ref(B.plan(), x)
     return far_spmv_add(y, B.far, x)
+
+
+# ---------------------------------------------------------------------------
+# Geo-split transfer operators (setup/hierarchy geo levels): alternating
+# semicoarsening on a lexicographic grid makes P/R applications expressible
+# as STATIC reshapes + elementwise weight products — no gathers, no plans,
+# nothing to pull off the device at attach time.  apply cost = pure
+# vector-memory traffic (the structured engine's transfer shape).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["wm", "wp"],
+    meta_fields=["meta"],
+)
+@dataclasses.dataclass(frozen=True)
+class GeoTransfer:
+    """P (and its exact transpose R) of one geo-split level.
+
+    Fine index i = hi*(m*s) + j*s + lo  (j = coordinate of the coarsened
+    dim, extent m, stride s); coarse point t sits at fine j = 2t.  F rows
+    (odd j) interpolate  wm[i] * xc(t) + wp[i] * xc(t+1)  with wp = 0 at
+    the right boundary; C rows copy.  ``wm``/``wp`` are (n_pad_f,) in fine
+    ordering (only odd-j entries are used)."""
+
+    wm: jax.Array
+    wp: jax.Array
+    # (H, m, mc, s, n_f, n_pad_f, nc_pad)
+    meta: tuple
+
+
+def geo_prolong(T: GeoTransfer, xc: jax.Array) -> jax.Array:
+    H, m, mc, s, n_f, n_pad_f, nc_pad = T.meta
+    mo = m // 2
+    dt = xc.dtype
+    Xc = xc[: H * mc * s].reshape(H, mc, s)
+    Wm = T.wm[:n_f].reshape(H, m, s)[:, 1::2, :].astype(dt)
+    Wp = T.wp[:n_f].reshape(H, m, s)[:, 1::2, :].astype(dt)
+    L = Xc[:, :mo, :]
+    R_ = jnp.pad(Xc, ((0, 0), (0, 1), (0, 0)))[:, 1 : mo + 1, :]
+    O = Wm * L + Wp * R_
+    if mo < mc:  # odd extent: pad the odd plane stack to mc, trim after
+        O = jnp.pad(O, ((0, 0), (0, mc - mo), (0, 0)))
+    Y = jnp.stack([Xc, O], axis=2).reshape(H, 2 * mc, s)[:, :m, :]
+    out = Y.reshape(-1)
+    return jnp.concatenate([out, jnp.zeros(n_pad_f - n_f, dt)])
+
+
+def geo_restrict(T: GeoTransfer, xf: jax.Array) -> jax.Array:
+    H, m, mc, s, n_f, n_pad_f, nc_pad = T.meta
+    mo = m // 2
+    dt = xf.dtype
+    Xf = xf[:n_f].reshape(H, m, s)
+    E = Xf[:, 0::2, :]  # (H, mc, s)
+    Od = Xf[:, 1::2, :]  # (H, mo, s)
+    Wm = T.wm[:n_f].reshape(H, m, s)[:, 1::2, :].astype(dt)
+    Wp = T.wp[:n_f].reshape(H, m, s)[:, 1::2, :].astype(dt)
+    WmO = Wm * Od
+    WpO = Wp * Od
+    yc = E
+    yc = yc + jnp.pad(WmO, ((0, 0), (0, mc - mo), (0, 0)))
+    # odd j = 2t-1 contributes wp to coarse t >= 1; the last odd plane's
+    # wp is zero for even m (right grid boundary), so trimming to mc-1
+    # planes before the top-pad is exact for both parities
+    yc = yc + jnp.pad(WpO[:, : mc - 1, :], ((0, 0), (1, 0), (0, 0)))
+    out = yc.reshape(-1)
+    return jnp.concatenate([out, jnp.zeros(nc_pad - H * mc * s, dt)])

@@ -68,7 +68,7 @@ def _setup_tick(label: str, t0: float) -> float:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["A", "P", "R", "dinv", "color", "cheb_lmax", "Abell",
-                 "binv", "Aband", "Pband", "Rband", "Ahyb"],
+                 "binv", "Aband", "Pband", "Rband", "Ahyb", "Tgeo"],
     meta_fields=["n", "ncolors"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +100,10 @@ class Level:
     # (a structured matrix fed to the general API without grid info) —
     # the apply is then plane rolls / the Pallas DIA kernel, zero gathers
     Ahyb: Optional["object"] = None  # core.hybrid.HybridMatrix
+    # geo-split transfer (core.hybrid.GeoTransfer): P/R as static reshapes
+    # + weight products — present on geo levels; the cycle prefers it over
+    # Pband/Rband/ELL (zero gathers, zero attach cost)
+    Tgeo: Optional["object"] = None
 
 
 @partial(
@@ -278,7 +282,20 @@ def _level_phase1_geo(A: EllMatrix, cf, *, stride, theta, strength_kind,
     d = A.diagonal()
     dinv = 1.0 / jnp.where(d != 0, d, 1.0)
     lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
-    return P, dinv, lmax, jnp.stack([nc, w_T, w_P, n_weak])
+    # geo-transfer weights (core.hybrid.GeoTransfer): P row i's value at
+    # coarse target cmap(i -/+ stride), zero when absent — extracted here
+    # so the transfer apply needs no P container and no host pull
+    from raptor_tpu.setup.splitting import C_PT
+
+    n_pad = A.n_rows_pad
+    cmap = jnp.cumsum((cf == C_PT).astype(jnp.int32)) - 1
+    tgt_m = jnp.take(cmap, jnp.maximum(row[0] - stride, 0))
+    tgt_p = jnp.take(cmap, jnp.minimum(row[0] + stride, n_pad - 1))
+    sm = (P.cols == tgt_m[None, :]) & P.slot_mask() & is_f[None, :]
+    sp_ = (P.cols == tgt_p[None, :]) & P.slot_mask() & is_f[None, :]
+    wm = jnp.sum(jnp.where(sm, P.data, 0), axis=0)
+    wp = jnp.sum(jnp.where(sp_, P.data, 0), axis=0)
+    return P, dinv, lmax, wm, wp, jnp.stack([nc, w_T, w_P, n_weak])
 
 
 def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
@@ -306,7 +323,7 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
     d = int(np.argmax(exts))
     cf, stride = _geo_cf(n, A.n_rows_pad, exts, d)
     want_lmax = config.smoother in _CHEB_SMOOTHERS
-    P_wide, dinv, lmax, scal = _level_phase1_geo(
+    P_wide, dinv, lmax, wm, wp, scal = _level_phase1_geo(
         A, jnp.asarray(cf), stride=stride, theta=config.theta,
         strength_kind=config.strength, want_lmax=want_lmax)
     # geo widths are STRUCTURAL, not data-dependent — nc is the exact
@@ -326,9 +343,9 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
         if n_weak > n // 10:
             # weak-dim bail — nc=0 signals the caller to drop geo and
             # re-dispatch this level through PMIS
-            return None, None, None, 0, dinv, None, cf, d
+            return None, None, None, 0, dinv, None, cf, d, None
     if nc == 0 or nc >= n:
-        return None, None, None, nc, dinv, None, cf, d
+        return None, None, None, nc, dinv, None, cf, d, None
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
     k_P = min(_bucket8(2), P.K)
     if k_P < P.K:
@@ -343,7 +360,15 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
         w_true, leftover = (int(v) for v in np.asarray(
             jax.device_get(scal2)))
         assert leftover == 0 and w_true <= k_Ac, (w_true, leftover, k_Ac)
-    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d
+    from raptor_tpu.core.hybrid import GeoTransfer
+
+    m_d = exts[d]
+    mc = (m_d + 1) // 2
+    H = n // (m_d * stride)
+    tg = GeoTransfer(wm=wm, wp=wp,
+                     meta=(H, m_d, mc, stride, n, A.n_rows_pad,
+                           P.n_cols_pad))
+    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d, tg
 
 
 # RAPTOR_GEO_CHECK=1: verify the structural width bounds above with a
@@ -605,8 +630,9 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             import time as _time
 
             _t0 = _time.perf_counter()
-            P, R, Ac, nc, dinv, lmax, cf, d_geo = _geo_fused_level(
+            out_geo = _geo_fused_level(
                 A, n, config, geo, check_weak=len(levels) < 3)
+            P, R, Ac, nc, dinv, lmax, cf, d_geo = out_geo[:8]
             _setup_tick(f"geo level {len(levels)} (n={n}, K={A.K})", _t0)
             if nc == 0 or nc >= n:
                 # weak-dim bail: abandon geo, re-dispatch this level (and
@@ -621,7 +647,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             color, ncolors = _mcgs_color(A, config)
             levels.append(
                 Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
-                      n=n, ncolors=ncolors)
+                      n=n, ncolors=ncolors, Tgeo=out_geo[8])
             )
             A, n = Ac, nc
             continue

@@ -552,6 +552,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
         smask = np_strength_mask(data, colsA, nnz, config.theta, config.strength)
         P_pad_csr = None
         geo_done = False
+        geo_wm = geo_wp = geo_meta = None
         if geo is not None and n == int(np.prod(geo)) and max(geo) > 2:
             # geo-split level (hierarchy._geo_fused_level mirror): given
             # C/F from alternating semicoarsening + dim-restricted direct
@@ -574,6 +575,19 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
             if n_weak > n // 10 and len(levels) + len(out) < 3:
                 geo = None  # weak-dim bail: PMIS for the remaining levels
             else:
+                # geo-transfer weights (hierarchy._level_phase1_geo mirror)
+                cmap_g = np.cumsum(cf == C_PT) - 1
+                is_f_r = cf == F_PT
+                idx_r = np.arange(n_pad)
+                tgt_m = cmap_g[np.maximum(idx_r - stride, 0)]
+                tgt_p = cmap_g[np.minimum(idx_r + stride, n_pad - 1)]
+                slot_g = (np.arange(Pd.shape[0])[:, None] < Pn[None, :])
+                sm_g = (Pc == tgt_m[None, :]) & slot_g & is_f_r[None, :]
+                sp_g = (Pc == tgt_p[None, :]) & slot_g & is_f_r[None, :]
+                geo_wm = np.where(sm_g, Pd, 0).sum(axis=0)
+                geo_wp = np.where(sp_g, Pd, 0).sum(axis=0)
+                geo_meta = (n // (geo[d_geo] * stride), geo[d_geo],
+                            (geo[d_geo] + 1) // 2, stride, n, n_pad)
                 geo[d_geo] = (geo[d_geo] + 1) // 2
                 geo_done = True
         if geo_done:
@@ -657,7 +671,14 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
                                 n_cols_pad=n_pad, identity_pad_rows=False,
                                 device=False),
                    _bucket8(int(np.diff(R_csr.indptr).max(initial=1))))
-        out.append((A, dinv, P, R, color, lmax, n, ncolors))
+        tg = None
+        if geo_meta is not None:
+            from raptor_tpu.core.hybrid import GeoTransfer
+
+            tg = GeoTransfer(wm=geo_wm.astype(dtype),
+                             wp=geo_wp.astype(dtype),
+                             meta=(*geo_meta, nc_pad))
+        out.append((A, dinv, P, R, color, lmax, n, ncolors, tg))
         A = _pad_K(ell_from_csr(Ac_csr, dtype=dtype,
                                 row_pad_multiple=config.pad_multiple,
                                 device=False),
@@ -678,7 +699,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     mtrue = min(pad_rows(n, 8), A.n_rows_pad)
     inv = np.eye(A.n_rows_pad, dtype=data.dtype)
     inv[:mtrue, :mtrue] = np.linalg.inv(dense[:mtrue, :mtrue])
-    out.append((A, dinv, None, None, color, lmax, n, ncolors))
+    out.append((A, dinv, None, None, color, lmax, n, ncolors, None))
 
     # leaves stay host numpy; build_hierarchy.stage_hierarchy uploads the
     # whole tree in one async batch (a per-array push from here costs a
@@ -692,9 +713,12 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
         return dataclasses.replace(
             E, data=h(E.data), cols=h(E.cols), row_nnz=h(E.row_nnz))
 
-    for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h) in out:
+    for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h, tg_h) in out:
+        if tg_h is not None:
+            tg_h = dataclasses.replace(tg_h, wm=h(tg_h.wm), wp=h(tg_h.wp))
         levels.append(Level(
             A=h_ell(Ah), dinv=h(dinv_h), P=h_ell(Ph), R=h_ell(Rh),
-            color=h(color_h), cheb_lmax=h(lmax_h), n=n_h, ncolors=ncol_h))
+            color=h(color_h), cheb_lmax=h(lmax_h), n=n_h, ncolors=ncol_h,
+            Tgeo=tg_h))
     return Hierarchy(levels=tuple(levels), coarse_inv=np.asarray(inv),
                      config=config)

@@ -216,14 +216,24 @@ def _level(hier: Hierarchy, cfg: AmgConfig, k: int, b):
                     x0_zero=True)
     with jax.named_scope(f"L{k}.restrict"):
         r = b - apply_op(lev, x) if cfg.nu1 else b
-        rc = apply_transfer(lev.Rband, lev.R, r)
+        if lev.Tgeo is not None:
+            from raptor_tpu.core.hybrid import geo_restrict
+
+            rc = geo_restrict(lev.Tgeo, r)
+        else:
+            rc = apply_transfer(lev.Rband, lev.R, r)
     ec = _level(hier, cfg, k + 1, rc)
     if cfg.cycle == "W" and k + 1 < len(hier.levels) - 1:
         # second coarse visit on the updated coarse residual (gamma = 2)
         rc2 = rc - apply_op(hier.levels[k + 1], ec)
         ec = ec + _level(hier, cfg, k + 1, rc2)
     with jax.named_scope(f"L{k}.prolong"):
-        x = x + apply_transfer(lev.Pband, lev.P, ec)
+        if lev.Tgeo is not None:
+            from raptor_tpu.core.hybrid import geo_prolong
+
+            x = x + geo_prolong(lev.Tgeo, ec)
+        else:
+            x = x + apply_transfer(lev.Pband, lev.P, ec)
     with jax.named_scope(f"L{k}.postsmooth"):
         x = _smooth(lev, cfg, b, x, backward=True)
     return x

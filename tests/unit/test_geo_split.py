@@ -102,3 +102,37 @@ def test_geo_off_falls_back_to_pmis():
     b = np.ones(A.shape[0])
     x, info = solve(A, b, cfg, SolveConfig(tol=1e-8, refine=True), hier=h)
     assert info["relres"] <= 1e-8
+
+
+def test_geo_transfer_matches_ell():
+    """GeoTransfer (static-reshape P/R apply) must reproduce the ELL
+    spmv(P)/spmv(R) exactly — including padding and grid boundaries — on
+    every geo level of a non-cubic build (odd/even extent parities)."""
+    from raptor_tpu.core.hybrid import geo_prolong, geo_restrict
+    from raptor_tpu.ops.sparse_ops import spmv
+
+    A = poisson_3d(12, 10, 8)
+    h = setup(A, _cfg())
+    rng = np.random.default_rng(5)
+    checked = 0
+    for lv in h.levels:
+        if lv.Tgeo is None or lv.P is None:
+            continue
+        xf = np.zeros(lv.A.n_rows_pad, np.float32)
+        xf[: lv.n] = rng.standard_normal(lv.n)
+        xc = np.zeros(lv.P.n_cols_pad, np.float32)
+        nc = lv.P.shape[1]
+        xc[:nc] = rng.standard_normal(nc)
+        got_p = np.asarray(geo_prolong(lv.Tgeo, jnp.asarray(xc)))
+        ref_p = np.asarray(spmv(lv.P, jnp.asarray(xc)))
+        np.testing.assert_allclose(got_p[: lv.n], ref_p[: lv.n],
+                                   rtol=0, atol=1e-6)
+        got_r = np.asarray(geo_restrict(lv.Tgeo, jnp.asarray(xf)))
+        ref_r = np.asarray(spmv(lv.R, jnp.asarray(xf)))
+        np.testing.assert_allclose(got_r[:nc], ref_r[:nc],
+                                   rtol=0, atol=1e-6)
+        checked += 1
+    assert checked >= 3, checked
+
+
+import jax.numpy as jnp  # noqa: E402  (used by the transfer test)
