@@ -201,7 +201,9 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     for _i, lev in enumerate(hier.levels):
         if lev.n >= BANDED_MIN_N and lev.A.n_rows_pad % 1024 == 0:
             attached = False
-            if plane_mode:
+            if lev.Ahyb is not None:
+                attached = True  # device planes from the geo RAP program
+            elif plane_mode:
                 # Galerkin products of plane-structured operators stay
                 # plane-structured (offsets at doubled spacings), so the
                 # whole hierarchy usually rides the DIA-plane apply

@@ -343,9 +343,9 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
         if n_weak > n // 10:
             # weak-dim bail — nc=0 signals the caller to drop geo and
             # re-dispatch this level through PMIS
-            return None, None, None, 0, dinv, None, cf, d, None
+            return None, None, None, 0, dinv, None, cf, d, None, None
     if nc == 0 or nc >= n:
-        return None, None, None, nc, dinv, None, cf, d, None
+        return None, None, None, nc, dinv, None, cf, d, None, None
     P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
     k_P = min(_bucket8(2), P.K)
     if k_P < P.K:
@@ -353,14 +353,28 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
     k_T = _bucket8(3)
     k_AP = _bucket8(2 * A.K)  # <= 2 coarse targets per A entry (pre-merge)
     k_Ac = _bucket8(15 if A.K <= 8 else 27)
-    R, Ac, scal2 = _level_phase2(
+    # static offsets of the COARSE pattern: the {0,±1}-span of the updated
+    # grid strides (exts with dim d halved)
+    exts2 = [(e + 1) // 2 if i == d else e for i, e in enumerate(exts)]
+    strides2 = [int(np.prod(exts2[:i])) if i else 1 for i in range(len(exts2))]
+    offsets = tuple(sorted({
+        i * strides2[0] + j * strides2[1] + k * strides2[2]
+        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)}))
+    R, Ac, planes, scal2 = _level_phase2_geo(
         A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
-        filter_tol=config.filter_tol)
+        filter_tol=config.filter_tol, offsets=offsets)
     if _GEO_CHECK:
-        w_true, leftover = (int(v) for v in np.asarray(
+        w_true, leftover, n_un = (int(v) for v in np.asarray(
             jax.device_get(scal2)))
-        assert leftover == 0 and w_true <= k_Ac, (w_true, leftover, k_Ac)
-    from raptor_tpu.core.hybrid import GeoTransfer
+        assert leftover == 0 and w_true <= k_Ac and n_un == 0, (
+            w_true, leftover, k_Ac, n_un)
+    from raptor_tpu.core.hybrid import GeoTransfer, HybridMatrix
+
+    eye_c = np.arange(Ac.n_rows_pad, dtype=np.int32)
+    hyb_c = HybridMatrix(
+        planes=planes, spill=None, perm=jnp.asarray(eye_c),
+        iperm=jnp.asarray(eye_c), offsets=offsets,
+        shape=(nc, nc), n_pad=Ac.n_rows_pad)
 
     m_d = exts[d]
     mc = (m_d + 1) // 2
@@ -368,7 +382,8 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
     tg = GeoTransfer(wm=wm, wp=wp,
                      meta=(H, m_d, mc, stride, n, A.n_rows_pad,
                            P.n_cols_pad))
-    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d, tg
+    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d, tg, \
+        hyb_c
 
 
 # RAPTOR_GEO_CHECK=1: verify the structural width bounds above with a
@@ -376,6 +391,32 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
 import os as _os
 
 _GEO_CHECK = bool(_os.environ.get("RAPTOR_GEO_CHECK"))
+
+
+@partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc",
+                                   "filter_tol", "offsets"))
+def _level_phase2_geo(A: EllMatrix, P: EllMatrix, *, k_T, k_AP, k_Ac, nc,
+                      filter_tol, offsets: tuple):
+    """_level_phase2 + DIA-plane extraction of the coarse operator in the
+    SAME fused program: geo coarse patterns lie exactly on the {0,±1}-span
+    offsets of the updated grid strides (host-computed, static), so the
+    next level's HybridMatrix planes come out of the RAP program directly
+    — the hierarchy's operators never leave the device, and the attach
+    phase has nothing to pull (round-5: attach pulls were 63 s of the
+    128^3 TPU warm setup)."""
+    R, Ac, scal = _level_phase2(A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
+                                filter_tol=filter_tol)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Ac.K, Ac.n_rows_pad), 1)
+    delta = Ac.cols - row
+    sm = Ac.slot_mask()
+    planes = jnp.stack([
+        jnp.sum(jnp.where(sm & (delta == off), Ac.data, 0), axis=0)
+        for off in offsets])
+    matched = jnp.zeros((Ac.K, Ac.n_rows_pad), bool)
+    for off in offsets:
+        matched = matched | (delta == off)
+    n_unmatched = jnp.sum(sm & ~matched)
+    return R, Ac, planes, jnp.concatenate([scal, n_unmatched[None]])
 
 
 @partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc", "filter_tol"))
@@ -604,6 +645,8 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
 
     ids = None if row_ids is None else np.asarray(row_ids)
     levels = []
+    pending_hyb = None  # device DIA planes of the NEXT level's operator,
+    # produced inside the previous geo level's fused RAP program
     n = A.shape[0]
     while len(levels) + 1 < config.max_levels and n > config.coarse_size:
         if (
@@ -633,6 +676,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             out_geo = _geo_fused_level(
                 A, n, config, geo, check_weak=len(levels) < 3)
             P, R, Ac, nc, dinv, lmax, cf, d_geo = out_geo[:8]
+            hyb_next = out_geo[9]
             _setup_tick(f"geo level {len(levels)} (n={n}, K={A.K})", _t0)
             if nc == 0 or nc >= n:
                 # weak-dim bail: abandon geo, re-dispatch this level (and
@@ -647,8 +691,10 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             color, ncolors = _mcgs_color(A, config)
             levels.append(
                 Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
-                      n=n, ncolors=ncolors, Tgeo=out_geo[8])
+                      n=n, ncolors=ncolors, Tgeo=out_geo[8],
+                      Ahyb=pending_hyb)
             )
+            pending_hyb = hyb_next
             A, n = Ac, nc
             continue
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
@@ -670,8 +716,9 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
             color, ncolors = _mcgs_color(A, config)
             levels.append(
                 Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
-                      n=n, ncolors=ncolors)
+                      n=n, ncolors=ncolors, Ahyb=pending_hyb)
             )
+            pending_hyb = None
             A, n = Ac, nc
             continue
         smask = strength_mask(A, config.theta, config.strength)
