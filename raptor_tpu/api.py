@@ -187,7 +187,8 @@ def _setup_banded(A, config: AmgConfig, dtype) -> Hierarchy:
     # additionally bails per level when the coarsened dim's couplings are
     # not strong (empty-P-row guard in the level builders)
     geo = (_detect_grid(coo, n)
-           if plane_mode and config.geo_split and not config.aggressive
+           if (plane_mode and config.geo_split and not config.aggressive
+               and config.smoother != "mcgs")  # geo levels skip coloring
            else None)
     if geo is not None:
         _setup_tick(f"grid detected: extents={geo} -> geo-split", _t0)

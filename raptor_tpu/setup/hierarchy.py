@@ -247,57 +247,6 @@ def _level_phase1(A: EllMatrix, perm, *, theta, strength_kind, splitting,
     return P, dinv, lmax, cf, jnp.stack([nc, w_T, w_P])
 
 
-@partial(jax.jit, static_argnames=("stride", "theta", "strength_kind",
-                                   "want_lmax"))
-def _level_phase1_geo(A: EllMatrix, cf, *, stride, theta, strength_kind,
-                      want_lmax):
-    """Fused first half of a GEO-SPLIT level (given C/F from alternating
-    semicoarsening of a detected grid — api._detect_grid): strength ->
-    dim-restricted direct interpolation -> width scalars.  Restricting the
-    interpolation mask to the +/-stride couplings reproduces the structured
-    engine's 1D transfer shape, so Galerkin operators never grow past the
-    27-point pattern (measured: maxK [7,15,27,27,...] and 9 PCG iterations
-    at 128^3 vs 16 for PMIS+ext+i — scripts/exp_alg_quality.py geo mode).
-    No splitting runs on device: cf is O(n) host arithmetic on the level's
-    tracked extents."""
-    row = A.row_index()
-    # GEOMETRIC mask: every entry at +/-stride interpolates, strong or not
-    # — on deep semicoarsened levels boundary rows carry present-but-weak
-    # stride couplings that a strength-restricted mask would orphan
-    # (empty P rows at n=512 of the 32^3 chain, observed round 5)
-    m1d = A.slot_mask() & (jnp.abs(A.cols - row) == stride) & (
-        A.cols != row)
-    P, nc = direct_interpolation(A, m1d, cf)
-    w_T = jnp.max(_transpose_col_counts(P))
-    w_P = jnp.max(P.row_nnz)
-    # anisotropy bail signal: F rows whose +/-stride couplings are all
-    # WEAK (fail the strength test) — when a large fraction of rows
-    # semicoarsens across a weak dim, the caller abandons geo for PMIS
-    # (the classic semicoarsening-across-the-weak-dim failure)
-    from raptor_tpu.setup.splitting import F_PT
-
-    smask = strength_mask(A, theta, strength_kind)
-    is_f = cf == F_PT
-    n_weak = jnp.sum(is_f & ~jnp.any(m1d & smask, axis=0))
-    d = A.diagonal()
-    dinv = 1.0 / jnp.where(d != 0, d, 1.0)
-    lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
-    # geo-transfer weights (core.hybrid.GeoTransfer): P row i's value at
-    # coarse target cmap(i -/+ stride), zero when absent — extracted here
-    # so the transfer apply needs no P container and no host pull
-    from raptor_tpu.setup.splitting import C_PT
-
-    n_pad = A.n_rows_pad
-    cmap = jnp.cumsum((cf == C_PT).astype(jnp.int32)) - 1
-    tgt_m = jnp.take(cmap, jnp.maximum(row[0] - stride, 0))
-    tgt_p = jnp.take(cmap, jnp.minimum(row[0] + stride, n_pad - 1))
-    sm = (P.cols == tgt_m[None, :]) & P.slot_mask() & is_f[None, :]
-    sp_ = (P.cols == tgt_p[None, :]) & P.slot_mask() & is_f[None, :]
-    wm = jnp.sum(jnp.where(sm, P.data, 0), axis=0)
-    wp = jnp.sum(jnp.where(sp_, P.data, 0), axis=0)
-    return P, dinv, lmax, wm, wp, jnp.stack([nc, w_T, w_P, n_weak])
-
-
 def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
     """C/F split for semicoarsening dim ``d``: C = even coordinate.  Row
     index space is lexicographic with stride(d) = prod(exts[:d])."""
@@ -310,80 +259,107 @@ def _geo_cf(n: int, n_pad: int, exts: list, d: int) -> "np.ndarray":
         np.int32), stride
 
 
-def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
-                     check_weak: bool = True):
-    """Run one geo-split level through the fused device programs (phase2 is
-    shared with the PMIS path — same compiled program at equal widths).
 
-    ``check_weak``: apply the anisotropy bail (first sweep through the
-    dims only — deep semicoarsened operators legitimately carry weak or
-    positive stride couplings near boundaries without hurting convergence;
-    the 32^3 chain bailed at n=512 on a strength test that the validated
-    9-iteration 128^3 hierarchy never needed)."""
-    d = int(np.argmax(exts))
-    cf, stride = _geo_cf(n, A.n_rows_pad, exts, d)
-    want_lmax = config.smoother in _CHEB_SMOOTHERS
-    P_wide, dinv, lmax, wm, wp, scal = _level_phase1_geo(
-        A, jnp.asarray(cf), stride=stride, theta=config.theta,
-        strength_kind=config.strength, want_lmax=want_lmax)
-    # geo widths are STRUCTURAL, not data-dependent — nc is the exact
-    # even-coordinate count, P rows hold <= 2 entries, a C point receives
-    # from <= 2 F neighbors + itself, the expand is <= 2 targets per A
-    # entry, and the lex-grid Galerkin pattern never leaves the
-    # {0,±1}^dims offset set (27-pt cap; 15-pt after the first sweep of a
-    # 7-pt input).  So NO width pull is needed: the three per-level host
-    # syncs that dominated the device geo build (tunnel RTT 6-16 s each,
-    # round-5 measure: 3 device levels = 34.7 s warm) collapse to zero and
-    # the levels chain asynchronously.  Only the first-sweep anisotropy
-    # check still reads a scalar back.
-    nc = int(np.prod([(e + 1) // 2 if i == d else e
-                      for i, e in enumerate(exts)]))
-    if check_weak:
-        n_weak = int(np.asarray(jax.device_get(scal))[3])
-        if n_weak > n // 10:
-            # weak-dim bail — nc=0 signals the caller to drop geo and
-            # re-dispatch this level through PMIS
-            return None, None, None, 0, dinv, None, cf, d, None, None
-    if nc == 0 or nc >= n:
-        return None, None, None, nc, dinv, None, cf, d, None, None
-    P = tighten_coarse_space(P_wide, nc, config.pad_multiple)
-    k_P = min(_bucket8(2), P.K)
-    if k_P < P.K:
-        P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
-    k_T = _bucket8(3)
-    k_AP = _bucket8(2 * A.K)  # <= 2 coarse targets per A entry (pre-merge)
-    k_Ac = _bucket8(15 if A.K <= 8 else 27)
-    # static offsets of the COARSE pattern: the {0,±1}-span of the updated
-    # grid strides (exts with dim d halved)
-    exts2 = [(e + 1) // 2 if i == d else e for i, e in enumerate(exts)]
-    strides2 = [int(np.prod(exts2[:i])) if i else 1 for i in range(len(exts2))]
-    offsets = tuple(sorted({
-        i * strides2[0] + j * strides2[1] + k * strides2[2]
-        for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)}))
-    R, Ac, planes, scal2 = _level_phase2_geo(
-        A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
-        filter_tol=config.filter_tol, offsets=offsets)
-    if _GEO_CHECK:
-        w_true, leftover, n_un = (int(v) for v in np.asarray(
-            jax.device_get(scal2)))
-        assert leftover == 0 and w_true <= k_Ac and n_un == 0, (
-            w_true, leftover, k_Ac, n_un)
-    from raptor_tpu.core.hybrid import GeoTransfer, HybridMatrix
+def _geo_plans(n0: int, n_pad0: int, K0: int, exts0: list, nlev: int,
+               pad_multiple: int):
+    """Static per-level plan for ``_geo_chain``: extents, strides, widths,
+    and coarse-pattern offsets — all structural (no data dependence)."""
+    plans = []
+    exts = list(exts0)
+    n, n_pad, K = n0, n_pad0, K0
+    for _ in range(nlev):
+        d = int(np.argmax(exts))
+        m = exts[d]
+        stride = int(np.prod(exts[:d])) if d > 0 else 1
+        mc = (m + 1) // 2
+        exts2 = [mc if i == d else e for i, e in enumerate(exts)]
+        nc = int(np.prod(exts2))
+        nc_pad = pad_rows(nc, pad_multiple)
+        strides2 = [int(np.prod(exts2[:i])) if i else 1
+                    for i in range(len(exts2))]
+        offsets_c = tuple(sorted({
+            i * strides2[0] + j * strides2[1] + k * strides2[2]
+            for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)}))
+        k_Ac = _bucket8(15 if K <= 8 else 27)
+        plans.append(dict(
+            n=n, n_pad=n_pad, K=K, d=d, m=m, stride=stride, mc=mc, nc=nc,
+            nc_pad=nc_pad, H=n // (m * stride), offsets_c=offsets_c,
+            k_P=8, k_T=8, k_AP=_bucket8(2 * K), k_Ac=k_Ac))
+        exts, n, n_pad, K = exts2, nc, nc_pad, k_Ac
+    return plans, exts
 
-    eye_c = np.arange(Ac.n_rows_pad, dtype=np.int32)
-    hyb_c = HybridMatrix(
-        planes=planes, spill=None, perm=jnp.asarray(eye_c),
-        iperm=jnp.asarray(eye_c), offsets=offsets,
-        shape=(nc, nc), n_pad=Ac.n_rows_pad)
 
-    m_d = exts[d]
-    mc = (m_d + 1) // 2
-    H = n // (m_d * stride)
-    tg = GeoTransfer(wm=wm, wp=wp,
-                     meta=(H, m_d, mc, stride, n, A.n_rows_pad,
-                           P.n_cols_pad))
-    return P, R, Ac, nc, dinv, (lmax if want_lmax else None), cf, d, tg, \
-        hyb_c
+@partial(jax.jit, static_argnames=("plans", "theta", "strength_kind",
+                                   "want_lmax", "filter_tol", "offsets0"))
+def _geo_chain(A0: EllMatrix, *, plans: tuple, theta, strength_kind,
+               want_lmax, filter_tol, offsets0: tuple):
+    """EVERY device geo level in ONE compiled program, zero host syncs.
+
+    The per-dispatch round trip of the remote (axon) backend made the
+    two-program-per-level geo build cost ~10 s/level warm (round 5); with
+    all widths structural (_geo_plans) the whole device part of the setup
+    is one dispatch — and one remote compile instead of six (the tunnel
+    charges ~50-150 s per unique program regardless of size).
+
+    ``plans``: hashable static tuple from ``_geo_plans`` (dict->tuple).
+    ``offsets0``: the INPUT operator's plane offsets, so level 0's
+    HybridMatrix planes also come out of this program (no host attach).
+    Returns (per_level_outputs, final_Ac, n_weak_stack)."""
+    from raptor_tpu.setup.splitting import C_PT, F_PT
+
+    def extract_planes(E, offsets):
+        row = jax.lax.broadcasted_iota(jnp.int32, (E.K, E.n_rows_pad), 1)
+        delta = E.cols - row
+        sm = E.slot_mask()
+        return jnp.stack([
+            jnp.sum(jnp.where(sm & (delta == off), E.data, 0), axis=0)
+            for off in offsets])
+
+    A = A0
+    outs = []
+    n_weaks = []
+    planes_prev = extract_planes(A0, offsets0)
+    for li, pl in enumerate(plans):
+        pl = dict(pl)
+        n, n_pad, stride, m = pl["n"], pl["n_pad"], pl["stride"], pl["m"]
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        coord = (idx // stride) % m
+        is_c = (coord % 2 == 0) & (idx < n)
+        cf = jnp.where(is_c, C_PT, F_PT).astype(jnp.int32)
+        row = A.row_index()
+        m1d = A.slot_mask() & (jnp.abs(A.cols - row) == stride) & (
+            A.cols != row)
+        P, _nc_t = direct_interpolation(A, m1d, cf)
+        # anisotropy signal (first dim sweep; host checks once at the end)
+        if li < 3:
+            smask = strength_mask(A, theta, strength_kind)
+            n_weaks.append(jnp.sum((cf == F_PT)
+                                   & ~jnp.any(m1d & smask, axis=0)))
+        d_diag = A.diagonal()
+        dinv = 1.0 / jnp.where(d_diag != 0, d_diag, 1.0)
+        lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
+        cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+        tgt_m = jnp.take(cmap, jnp.maximum(idx - stride, 0))
+        tgt_p = jnp.take(cmap, jnp.minimum(idx + stride, n_pad - 1))
+        is_f = cf == F_PT
+        sm_ = (P.cols == tgt_m[None, :]) & P.slot_mask() & is_f[None, :]
+        sp_ = (P.cols == tgt_p[None, :]) & P.slot_mask() & is_f[None, :]
+        wm = jnp.sum(jnp.where(sm_, P.data, 0), axis=0)
+        wp = jnp.sum(jnp.where(sp_, P.data, 0), axis=0)
+        P = dataclasses.replace(
+            P, shape=(P.shape[0], pl["nc"]), n_cols_pad=pl["nc_pad"])
+        k_P = min(pl["k_P"], P.K)
+        if k_P < P.K:
+            P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
+        R, Ac, _scal = _level_phase2(
+            A, P, k_T=pl["k_T"], k_AP=pl["k_AP"], k_Ac=pl["k_Ac"],
+            nc=pl["nc"], filter_tol=filter_tol)
+        planes_c = extract_planes(Ac, pl["offsets_c"])
+        outs.append(dict(P=P, R=R, Ac=Ac, dinv=dinv, lmax=lmax, wm=wm,
+                         wp=wp, planes=planes_prev))
+        planes_prev = planes_c
+        A = Ac
+    return tuple(outs), A, planes_prev, jnp.stack(n_weaks)
 
 
 # RAPTOR_GEO_CHECK=1: verify the structural width bounds above with a
@@ -391,32 +367,6 @@ def _geo_fused_level(A: EllMatrix, n: int, config: AmgConfig, exts: list,
 import os as _os
 
 _GEO_CHECK = bool(_os.environ.get("RAPTOR_GEO_CHECK"))
-
-
-@partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc",
-                                   "filter_tol", "offsets"))
-def _level_phase2_geo(A: EllMatrix, P: EllMatrix, *, k_T, k_AP, k_Ac, nc,
-                      filter_tol, offsets: tuple):
-    """_level_phase2 + DIA-plane extraction of the coarse operator in the
-    SAME fused program: geo coarse patterns lie exactly on the {0,±1}-span
-    offsets of the updated grid strides (host-computed, static), so the
-    next level's HybridMatrix planes come out of the RAP program directly
-    — the hierarchy's operators never leave the device, and the attach
-    phase has nothing to pull (round-5: attach pulls were 63 s of the
-    128^3 TPU warm setup)."""
-    R, Ac, scal = _level_phase2(A, P, k_T=k_T, k_AP=k_AP, k_Ac=k_Ac, nc=nc,
-                                filter_tol=filter_tol)
-    row = jax.lax.broadcasted_iota(jnp.int32, (Ac.K, Ac.n_rows_pad), 1)
-    delta = Ac.cols - row
-    sm = Ac.slot_mask()
-    planes = jnp.stack([
-        jnp.sum(jnp.where(sm & (delta == off), Ac.data, 0), axis=0)
-        for off in offsets])
-    matched = jnp.zeros((Ac.K, Ac.n_rows_pad), bool)
-    for off in offsets:
-        matched = matched | (delta == off)
-    n_unmatched = jnp.sum(sm & ~matched)
-    return R, Ac, planes, jnp.concatenate([scal, n_unmatched[None]])
 
 
 @partial(jax.jit, static_argnames=("k_T", "k_AP", "k_Ac", "nc", "filter_tol"))
@@ -672,30 +622,83 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
         if geo is not None and n == int(np.prod(geo)) and max(geo) > 2:
             import time as _time
 
-            _t0 = _time.perf_counter()
-            out_geo = _geo_fused_level(
-                A, n, config, geo, check_weak=len(levels) < 3)
-            P, R, Ac, nc, dinv, lmax, cf, d_geo = out_geo[:8]
-            hyb_next = out_geo[9]
-            _setup_tick(f"geo level {len(levels)} (n={n}, K={A.K})", _t0)
-            if nc == 0 or nc >= n:
-                # weak-dim bail: abandon geo, re-dispatch this level (and
-                # the rest of the hierarchy) through the PMIS machinery
-                geo = None
-                continue
-            geo[d_geo] = (geo[d_geo] + 1) // 2
-            if ids is not None:
-                from raptor_tpu.setup.splitting import C_PT
+            from raptor_tpu.core.hybrid import GeoTransfer, HybridMatrix
 
-                ids = ids[np.asarray(cf)[:n] == C_PT]
-            color, ncolors = _mcgs_color(A, config)
-            levels.append(
-                Level(A=A, dinv=dinv, P=P, R=R, color=color, cheb_lmax=lmax,
-                      n=n, ncolors=ncolors, Tgeo=out_geo[8],
-                      Ahyb=pending_hyb)
-            )
-            pending_hyb = hyb_next
-            A, n = Ac, nc
+            _t0 = _time.perf_counter()
+            # how many successive geo levels stay device-sized
+            nlev = 0
+            sim_exts, sim_n = list(geo), n
+            while (sim_n > config.host_setup_threshold
+                   and max(sim_exts) > 2
+                   and sim_n > config.coarse_size
+                   and len(levels) + nlev + 1 < config.max_levels):
+                dd = int(np.argmax(sim_exts))
+                sim_exts[dd] = (sim_exts[dd] + 1) // 2
+                sim_n = int(np.prod(sim_exts))
+                nlev += 1
+            # nlev >= 1 always: the host-threshold dispatch above would
+            # have taken any smaller level
+            plans, exts_after = _geo_plans(
+                n, A.n_rows_pad, A.K, geo, nlev, config.pad_multiple)
+            # exact input plane offsets for the level-0 extraction
+            data_h, cols_h, nnz_h = (np.asarray(A.data), np.asarray(A.cols),
+                                     np.asarray(A.row_nnz))
+            rows_h = np.broadcast_to(
+                np.arange(A.n_rows_pad, dtype=np.int64)[None, :],
+                cols_h.shape)
+            mask_h = (np.arange(A.K)[:, None] < nnz_h[None, :]) \
+                & (rows_h < n) & (cols_h < n)
+            offsets0 = tuple(
+                int(v) for v in np.unique((cols_h - rows_h)[mask_h]))
+            want_lmax = config.smoother in _CHEB_SMOOTHERS
+            plans_static = tuple(
+                tuple(sorted(p.items())) for p in plans)
+            outs, Ac_last, planes_last, n_weaks = _geo_chain(
+                A, plans=plans_static, theta=config.theta,
+                strength_kind=config.strength, want_lmax=want_lmax,
+                filter_tol=config.filter_tol, offsets0=offsets0)
+            # single sync: the first-sweep anisotropy check
+            nw = np.asarray(jax.device_get(n_weaks))
+            bail = any(int(w) > plans[li]["n"] // 10
+                       for li, w in enumerate(nw[:3]))
+            _setup_tick(
+                f"geo chain x{nlev} (n={n}, K={A.K})", _t0)
+            if bail:
+                geo = None  # weak dim: rebuild through PMIS
+                continue
+            A_cur = A
+            for li, (o, pl) in enumerate(zip(outs, plans)):
+                tg = GeoTransfer(
+                    wm=o["wm"], wp=o["wp"],
+                    meta=(pl["H"], pl["m"], pl["mc"], pl["stride"],
+                          pl["n"], pl["n_pad"], pl["nc_pad"]))
+                offs = offsets0 if li == 0 else plans[li - 1]["offsets_c"]
+                eye = np.arange(pl["n_pad"], dtype=np.int32)
+                hyb = HybridMatrix(
+                    planes=o["planes"], spill=None, perm=jnp.asarray(eye),
+                    iperm=jnp.asarray(eye), offsets=offs,
+                    shape=(pl["n"], pl["n"]), n_pad=pl["n_pad"])
+                levels.append(Level(
+                    A=A_cur, dinv=o["dinv"],
+                    P=o["P"], R=o["R"], color=None,
+                    cheb_lmax=(o["lmax"] if want_lmax else None),
+                    n=pl["n"], ncolors=1, Tgeo=tg, Ahyb=hyb))
+                if ids is not None:
+                    keep_c = ((np.arange(pl["n"]) // pl["stride"])
+                              % pl["m"]) % 2 == 0
+                    ids = ids[keep_c]
+                A_cur = o["Ac"]
+            geo[:] = exts_after
+            A, n = Ac_last, plans[-1]["nc"]
+            pending_hyb = HybridMatrix(
+                planes=planes_last, spill=None,
+                perm=jnp.asarray(np.arange(plans[-1]["nc_pad"],
+                                           dtype=np.int32)),
+                iperm=jnp.asarray(np.arange(plans[-1]["nc_pad"],
+                                            dtype=np.int32)),
+                offsets=plans[-1]["offsets_c"],
+                shape=(plans[-1]["nc"], plans[-1]["nc"]),
+                n_pad=plans[-1]["nc_pad"])
             continue
         if config.splitting in ("pmis", "cljp") and not config.aggressive:
             import time as _time
