@@ -337,7 +337,16 @@ def _geo_chain(A0: EllMatrix, *, plans: tuple, theta, strength_kind,
                                    & ~jnp.any(m1d & smask, axis=0)))
         d_diag = A.diagonal()
         dinv = 1.0 / jnp.where(d_diag != 0, d_diag, 1.0)
-        lmax = estimate_lmax(A, dinv) if want_lmax else jnp.float32(0)
+        # Gershgorin upper bound instead of the 40-round power iteration:
+        # strict (safe for 4th-kind Chebyshev — only an upper estimate is
+        # used), one bandwidth pass instead of 40 gather-ELL SpMVs per
+        # level (the chain's 30.8 s warm was mostly these), and measured
+        # iteration-neutral on the geo chains (host mirror note in
+        # host_setup._np_estimate_lmax)
+        lmax = (jnp.max(jnp.sum(jnp.where(A.slot_mask(),
+                                          jnp.abs(A.data), 0), axis=0)
+                        * jnp.abs(dinv))
+                if want_lmax else jnp.float32(0))
         cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
         tgt_m = jnp.take(cmap, jnp.maximum(idx - stride, 0))
         tgt_p = jnp.take(cmap, jnp.minimum(idx + stride, n_pad - 1))
