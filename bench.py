@@ -376,7 +376,7 @@ def device_setup_detail() -> dict:
             [sys.executable,
              str(pathlib.Path(__file__).with_name("scripts")
                  / "devsetup_quality.py"), "96"],
-            capture_output=True, text=True, timeout=1500,
+            capture_output=True, text=True, timeout=500,
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         q = json.loads(qp.stdout.strip().splitlines()[-1])
         out["iterations_dev"] = q["iterations_dev"]
@@ -925,7 +925,7 @@ def main():
 
     if on_tpu and not args.no_configs:
         devsetup_detail.update(
-            _sub_json(["--devsetup-only"], "devsetup", min_s=240, max_s=700))
+            _sub_json(["--devsetup-only"], "devsetup", min_s=300, max_s=900))
         emit()
     if not args.no_configs:
         alg_detail.update(
