@@ -364,8 +364,13 @@ def _geo_chain(A0: EllMatrix, *, plans: tuple, theta, strength_kind,
             A, P, k_T=pl["k_T"], k_AP=pl["k_AP"], k_Ac=pl["k_Ac"],
             nc=pl["nc"], filter_tol=filter_tol)
         planes_c = extract_planes(Ac, pl["offsets_c"])
+        # per-plane mass: the {0,±1}^3-span offsets are a SUPERSET of the
+        # true coarse pattern on early levels (a 7-pt input's first RAP has
+        # 15 live offsets of the 27) — the host prunes all-zero planes so
+        # the DIA apply never streams dead data
         outs.append(dict(P=P, R=R, Ac=Ac, dinv=dinv, lmax=lmax, wm=wm,
-                         wp=wp, planes=planes_prev))
+                         wp=wp, planes=planes_prev,
+                         pmass=jnp.sum(jnp.abs(planes_prev), axis=1)))
         planes_prev = planes_c
         A = Ac
     return tuple(outs), A, planes_prev, jnp.stack(n_weaks)
@@ -666,8 +671,10 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
                 A, plans=plans_static, theta=config.theta,
                 strength_kind=config.strength, want_lmax=want_lmax,
                 filter_tol=config.filter_tol, offsets0=offsets0)
-            # single sync: the first-sweep anisotropy check
-            nw = np.asarray(jax.device_get(n_weaks))
+            # single sync: anisotropy check + per-level plane masses
+            nw, *pmasses = jax.device_get(
+                (n_weaks, *[o["pmass"] for o in outs]))
+            nw = np.asarray(nw)
             bail = any(int(w) > plans[li]["n"] // 10
                        for li, w in enumerate(nw[:3]))
             _setup_tick(
@@ -682,9 +689,14 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
                     meta=(pl["H"], pl["m"], pl["mc"], pl["stride"],
                           pl["n"], pl["n_pad"], pl["nc_pad"]))
                 offs = offsets0 if li == 0 else plans[li - 1]["offsets_c"]
+                live = np.asarray(pmasses[li]) > 0
+                planes_l = o["planes"]
+                if not live.all():
+                    planes_l = planes_l[np.flatnonzero(live)]
+                    offs = tuple(v for v, lv_ in zip(offs, live) if lv_)
                 eye = np.arange(pl["n_pad"], dtype=np.int32)
                 hyb = HybridMatrix(
-                    planes=o["planes"], spill=None, perm=jnp.asarray(eye),
+                    planes=planes_l, spill=None, perm=jnp.asarray(eye),
                     iperm=jnp.asarray(eye), offsets=offs,
                     shape=(pl["n"], pl["n"]), n_pad=pl["n_pad"])
                 levels.append(Level(
