@@ -284,7 +284,12 @@ def _geo_plans(n0: int, n_pad0: int, K0: int, exts0: list, nlev: int,
         plans.append(dict(
             n=n, n_pad=n_pad, K=K, d=d, m=m, stride=stride, mc=mc, nc=nc,
             nc_pad=nc_pad, H=n // (m * stride), offsets_c=offsets_c,
-            k_P=8, k_T=8, k_AP=_bucket8(2 * K), k_Ac=k_Ac))
+            # AP pattern bound: an A row touches coarse coords
+            # floor((j-1)/2)..ceil((j+1)/2) per dim — <= 3 values each, so
+            # the merged AP row never exceeds 27 entries; min(2K, 27)
+            # halves the spgemm merge unroll at K=32 (remote compile of the
+            # chain program was 859 s with the 2K=64 bound)
+            k_P=8, k_T=8, k_AP=_bucket8(min(2 * K, 27)), k_Ac=k_Ac))
         exts, n, n_pad, K = exts2, nc, nc_pad, k_Ac
     return plans, exts
 
