@@ -327,44 +327,89 @@ def _geo_chain(A0: EllMatrix, *, plans: tuple, theta, strength_kind,
     for li, pl in enumerate(plans):
         pl = dict(pl)
         n, n_pad, stride, m = pl["n"], pl["n_pad"], pl["stride"], pl["m"]
+        mc = pl["mc"]
+
+        def isc_of(c):
+            return (((c // stride) % m) % 2 == 0) & (c < n)
+
+        def cmap_of(c):
+            # coarse lex id of a C point — CLOSED FORM on a geometric
+            # split, so no cumsum and no (K, n) gathers/scatters anywhere
+            # in the interpolation (TPU executes both element-serially;
+            # the gather/scatter form cost most of the chain's device time)
+            hi = c // (m * stride)
+            rem = c - hi * (m * stride)
+            coord = rem // stride
+            return hi * (mc * stride) + (coord // 2) * stride + (
+                rem - coord * stride)
+
         idx = jnp.arange(n_pad, dtype=jnp.int32)
-        coord = (idx // stride) % m
-        is_c = (coord % 2 == 0) & (idx < n)
-        cf = jnp.where(is_c, C_PT, F_PT).astype(jnp.int32)
+        is_c = isc_of(idx)
+        is_f = ~is_c
         row = A.row_index()
         m1d = A.slot_mask() & (jnp.abs(A.cols - row) == stride) & (
             A.cols != row)
-        P, _nc_t = direct_interpolation(A, m1d, cf)
         # anisotropy signal (first dim sweep; host checks once at the end)
         if li < 3:
             smask = strength_mask(A, theta, strength_kind)
-            n_weaks.append(jnp.sum((cf == F_PT)
+            n_weaks.append(jnp.sum(is_f & (idx < n)
                                    & ~jnp.any(m1d & smask, axis=0)))
         d_diag = A.diagonal()
         dinv = 1.0 / jnp.where(d_diag != 0, d_diag, 1.0)
         # Gershgorin upper bound instead of the 40-round power iteration:
         # strict (safe for 4th-kind Chebyshev — only an upper estimate is
         # used), one bandwidth pass instead of 40 gather-ELL SpMVs per
-        # level (the chain's 30.8 s warm was mostly these), and measured
-        # iteration-neutral on the geo chains (host mirror note in
+        # level, and measured iteration-neutral (host mirror note in
         # host_setup._np_estimate_lmax)
         lmax = (jnp.max(jnp.sum(jnp.where(A.slot_mask(),
                                           jnp.abs(A.data), 0), axis=0)
                         * jnp.abs(dinv))
                 if want_lmax else jnp.float32(0))
-        cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
-        tgt_m = jnp.take(cmap, jnp.maximum(idx - stride, 0))
-        tgt_p = jnp.take(cmap, jnp.minimum(idx + stride, n_pad - 1))
-        is_f = cf == F_PT
-        sm_ = (P.cols == tgt_m[None, :]) & P.slot_mask() & is_f[None, :]
-        sp_ = (P.cols == tgt_p[None, :]) & P.slot_mask() & is_f[None, :]
-        wm = jnp.sum(jnp.where(sm_, P.data, 0), axis=0)
-        wp = jnp.sum(jnp.where(sp_, P.data, 0), axis=0)
-        P = dataclasses.replace(
-            P, shape=(P.shape[0], pl["nc"]), n_cols_pad=pl["nc_pad"])
-        k_P = min(pl["k_P"], P.K)
-        if k_P < P.K:
-            P = dataclasses.replace(P, data=P.data[:k_P], cols=P.cols[:k_P])
+        # direct interpolation on the geometric mask — identical formula to
+        # interp.direct_interpolation_core, with the C views computed
+        # arithmetically and the <=2-entry rows packed by reductions
+        a = A.data
+        off = A.slot_mask() & (A.cols != row)
+        strong_c = m1d & isc_of(A.cols)
+        neg = off & (a < 0)
+        pos = off & (a > 0)
+        num_neg = jnp.sum(jnp.where(neg, a, 0), axis=0)
+        num_pos = jnp.sum(jnp.where(pos, a, 0), axis=0)
+        den_neg = jnp.sum(jnp.where(strong_c & (a < 0), a, 0), axis=0)
+        den_pos = jnp.sum(jnp.where(strong_c & (a > 0), a, 0), axis=0)
+        alpha = jnp.where(den_neg != 0,
+                          num_neg / jnp.where(den_neg != 0, den_neg, 1), 0)
+        beta = jnp.where(den_pos != 0,
+                         num_pos / jnp.where(den_pos != 0, den_pos, 1), 0)
+        dii = d_diag + jnp.where(den_pos == 0, num_pos, 0)
+        dii = jnp.where(dii != 0, dii, 1)
+        coef = jnp.where(a < 0, alpha[None, :], beta[None, :])
+        pv = jnp.where(strong_c, -(coef * a) / dii[None, :], 0)
+        pc = cmap_of(A.cols)
+        cum = jnp.cumsum(strong_c.astype(jnp.int32), axis=0)
+        first = strong_c & (cum == 1)
+        second = strong_c & (cum == 2)
+        d0 = jnp.sum(jnp.where(first, pv, 0), axis=0)
+        c0 = jnp.sum(jnp.where(first, pc, 0), axis=0)
+        d1 = jnp.sum(jnp.where(second, pv, 0), axis=0)
+        c1 = jnp.sum(jnp.where(second, pc, 0), axis=0)
+        own = cmap_of(idx)
+        P_data = jnp.stack([jnp.where(is_c, 1.0, d0).astype(A.dtype),
+                            jnp.where(is_c, 0.0, d1).astype(A.dtype)])
+        P_cols = jnp.stack([jnp.where(is_c, own, c0),
+                            jnp.where(is_c, 0, c1)]).astype(jnp.int32)
+        p_nnz = jnp.where(is_c, 1,
+                          jnp.sum(strong_c, axis=0)).astype(jnp.int32)
+        P = EllMatrix(data=P_data, cols=P_cols, row_nnz=p_nnz,
+                      shape=(pl["n"], pl["nc"]), n_rows_pad=n_pad,
+                      n_cols_pad=pl["nc_pad"])
+        tgt_m = cmap_of(jnp.maximum(idx - stride, 0))
+        tgt_p = cmap_of(jnp.minimum(idx + stride, n_pad - 1))
+        sel_f = is_f & (p_nnz > 0)
+        wm = jnp.where(sel_f & (c0 == tgt_m), d0, 0) + jnp.where(
+            sel_f & (c1 == tgt_m) & (p_nnz > 1), d1, 0)
+        wp = jnp.where(sel_f & (c0 == tgt_p), d0, 0) + jnp.where(
+            sel_f & (c1 == tgt_p) & (p_nnz > 1), d1, 0)
         R, Ac, _scal = _level_phase2(
             A, P, k_T=pl["k_T"], k_AP=pl["k_AP"], k_Ac=pl["k_Ac"],
             nc=pl["nc"], filter_tol=filter_tol)
