@@ -304,6 +304,13 @@ def solve_hier_refined(
     # jnp.take chain below instead
     use_band_resid = band is not None and band.far is None and (
         lo is None or hier.a0_lo_band is not None)
+    # DIA-plane compensated residual (geo levels: zero gathers, the
+    # structured engine's _df64_residual shape).  lo must be None — the
+    # fp32 remainder lives in ELL slot layout, not planes — which it is
+    # for every grid stencil (attach_residual_lo's fp32-exact early exit)
+    hyb = lev0.Ahyb
+    use_hyb_resid = (not use_band_resid and hyb is not None
+                     and hyb.spill is None and lo is None)
 
     def residual(xh, xl, bh, bl):
         # A @ x_lo needs only fp32 accuracy (x_lo ~ 2^-24 x_hi, so its
@@ -315,6 +322,13 @@ def solve_hier_refined(
             from raptor_tpu.core.hybrid import banded_df64_residual
 
             return banded_df64_residual(band, hier.a0_lo_band, xh, bh, bl, v)
+        if use_hyb_resid:
+            rh, rl = df_add(bh, bl, -v, jnp.zeros_like(v))
+            for k, o in enumerate(hyb.offsets):
+                sh = xh if o == 0 else jnp.roll(xh, -o)
+                ph, pe = two_prod(hyb.planes[k], sh)
+                rh, rl = df_add(rh, rl, -ph, -pe)
+            return rh, rl
         rh, rl = df_add(bh, bl, -v, jnp.zeros_like(v))
         for k in range(A.K):
             gh = jnp.take(xh, A.cols[k], axis=0)
