@@ -675,7 +675,7 @@ def build_hierarchy(A, config: AmgConfig = AmgConfig(), dtype=jnp.float32,
 
             _t0 = _time.perf_counter()
             hier = host_build_tail(A, levels, config, dtype, row_ids=ids,
-                                   geo=geo)
+                                   geo=geo, ahyb0=pending_hyb)
             _t0 = _setup_tick(f"host tail (n={n})", _t0)
             if A_in is not None:
                 hier = attach_residual_lo(hier, A_in)

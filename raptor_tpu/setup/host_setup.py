@@ -520,7 +520,7 @@ def _host_level_aux(A: EllMatrix, data, cols, nnz, config: AmgConfig):
 
 
 def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
-                    row_ids=None, geo: list | None = None):
+                    row_ids=None, geo: list | None = None, ahyb0=None):
     """Finish a hierarchy on host: called by setup.hierarchy.build_hierarchy
     once the level size drops to ``config.host_setup_threshold``.  ``levels``
     holds the already-built (device) levels; returns the complete Hierarchy
@@ -671,6 +671,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
                                 n_cols_pad=n_pad, identity_pad_rows=False,
                                 device=False),
                    _bucket8(int(np.diff(R_csr.indptr).max(initial=1))))
+        hyb_pre, ahyb0 = ahyb0, None  # consume the chain's last planes
         tg = None
         if geo_meta is not None:
             from raptor_tpu.core.hybrid import GeoTransfer
@@ -678,7 +679,7 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
             tg = GeoTransfer(wm=geo_wm.astype(dtype),
                              wp=geo_wp.astype(dtype),
                              meta=(*geo_meta, nc_pad))
-        out.append((A, dinv, P, R, color, lmax, n, ncolors, tg))
+        out.append((A, dinv, P, R, color, lmax, n, ncolors, tg, hyb_pre))
         A = _pad_K(ell_from_csr(Ac_csr, dtype=dtype,
                                 row_pad_multiple=config.pad_multiple,
                                 device=False),
@@ -699,7 +700,8 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
     mtrue = min(pad_rows(n, 8), A.n_rows_pad)
     inv = np.eye(A.n_rows_pad, dtype=data.dtype)
     inv[:mtrue, :mtrue] = np.linalg.inv(dense[:mtrue, :mtrue])
-    out.append((A, dinv, None, None, color, lmax, n, ncolors, None))
+    out.append((A, dinv, None, None, color, lmax, n, ncolors, None,
+                ahyb0))
 
     # leaves stay host numpy; build_hierarchy.stage_hierarchy uploads the
     # whole tree in one async batch (a per-array push from here costs a
@@ -713,12 +715,13 @@ def host_build_tail(A: EllMatrix, levels: list, config: AmgConfig, dtype,
         return dataclasses.replace(
             E, data=h(E.data), cols=h(E.cols), row_nnz=h(E.row_nnz))
 
-    for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h, tg_h) in out:
+    for (Ah, dinv_h, Ph, Rh, color_h, lmax_h, n_h, ncol_h, tg_h,
+         hy_h) in out:
         if tg_h is not None:
             tg_h = dataclasses.replace(tg_h, wm=h(tg_h.wm), wp=h(tg_h.wp))
         levels.append(Level(
             A=h_ell(Ah), dinv=h(dinv_h), P=h_ell(Ph), R=h_ell(Rh),
             color=h(color_h), cheb_lmax=h(lmax_h), n=n_h, ncolors=ncol_h,
-            Tgeo=tg_h))
+            Tgeo=tg_h, Ahyb=hy_h))
     return Hierarchy(levels=tuple(levels), coarse_inv=np.asarray(inv),
                      config=config)
