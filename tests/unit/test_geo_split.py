@@ -76,6 +76,7 @@ def test_geo_quality_3d():
     assert info["iterations"] <= 10, info
 
 
+@pytest.mark.slow
 def test_geo_device_matches_host():
     """threshold=0 (all levels through the fused device programs) and
     threshold=inf (all host numpy) build the same geo hierarchy."""
